@@ -1,0 +1,66 @@
+"""Benchmark: offline VI sweep on MIT-BIH record 100 (reference
+test_offline.py configuration, warp off).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares against the CPU reference implementation's
+wall-time for the same configuration when a measured number is
+available in BASELINE_MEASURED.json (written by tools/measure_baseline.py);
+otherwise vs_baseline is 0.0.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_BEATS = int(os.environ.get("HDPGPC_BENCH_BEATS", "500"))
+
+
+def main():
+    from hdpgpc_tpu.data.loader import default_x_basis, load_record
+    from hdpgpc_tpu.data.priors import compute_estimators_lds
+    from hdpgpc_tpu.models.hdpgpc import HDPGPC
+
+    data, labels = load_record("100", lead=0)
+    data = data[:N_BEATS]
+    std, std_dif, bound_sigma, bound_gamma = compute_estimators_lds(data)
+    N, T, L = data.shape
+    x_basis = default_x_basis(T)
+    x_trains = np.tile(np.arange(T, dtype=np.float64), (N, 1))
+    model = HDPGPC(x_basis, n_outputs=L, ini_lengthscale=3.0,
+                   bound_lengthscale=(1.0, 20.0), ini_gamma=std_dif,
+                   ini_sigma=std, ini_outputscale=300.0,
+                   bound_sigma=bound_sigma, bound_gamma=bound_gamma,
+                   verbose=False, hmm_switch=True, max_models=100,
+                   bayesian_params=True, reestimate_initial_params=True,
+                   n_explore_steps=5, free_deg_MNIV=5)
+    t0 = time.time()
+    import contextlib, io
+    with contextlib.redirect_stdout(io.StringIO()):
+        model.include_batch(x_trains, data, with_warp=False)
+    elapsed = time.time() - t0
+    sweeps = max(len(model.train_elbo), 1)
+    sec_per_sweep = elapsed / sweeps
+
+    baseline = None
+    bl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BASELINE_MEASURED.json")
+    if os.path.exists(bl_path):
+        with open(bl_path) as f:
+            bl = json.load(f)
+        key = f"offline_sec_per_sweep_rec100_n{N_BEATS}"
+        baseline = bl.get(key)
+    vs = (baseline / sec_per_sweep) if baseline else 0.0
+    print(json.dumps({
+        "metric": f"offline_vi_sec_per_sweep_rec100_n{N_BEATS}",
+        "value": round(sec_per_sweep, 4),
+        "unit": "s/sweep",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,522 @@
+"""Per-cluster GP-LDS emission model as fused compiled scans.
+
+This replaces the reference's GPI_model object (GPI_model.py:16-1278):
+lists-of-tensors histories, per-sample Python loops and deepcopies
+become ONE jitted program per cluster refit:
+
+    refit = forward lax.scan (Kalman step + tail-pair RTS smoothing +
+                              1-step MNIW conjugate update per member)
+          -> reverse lax.scan (full RTS smoother)
+          -> fused emission scoring (compute_sq_err_all parity)
+          -> fused latent scoring  (compute_q_lat_all parity)
+
+The O(N * T^2) history arrays live only inside the jit (XLA
+transients); the state carried between calls is a compact fixed-shape
+:class:`ClusterState` holding exactly what the algorithm reads later
+(last three smoothed / last two filtered states, first smoothed state,
+current + previous LDS params, MNIW posteriors) — a superset of what
+the reference's own ``keep_last_all`` compaction keeps
+(GPI_HDP.py:460-466).
+
+Reference semantics preserved (see SURVEY.md §2 quirks):
+
+* scores omit the log-determinant (GPI_model.py:92-113, :250-286);
+* members score against their own post-inclusion filtered state;
+  non-members score against the state *before* the preceding member's
+  inclusion (compute_sq_err_all index arithmetic, GPI_model.py:494-533);
+* the first member's score covariance is inflated by
+  1e-2 * mean(diag(Sigma0)) (GPI_model.py:272, :528-529);
+* 1-step MNIW updates zero the state covariances (GPI_model.py:996-998)
+  and anneal scales by +Gamma0/N^2, +Sigma0/N^2 (GPI_model.py:1083-1091);
+* the first member performs no MNIW update but still appends params, so
+  Gamma -> 2*Gamma0, Sigma -> 2*Sigma0 after sample one;
+* parameters freeze once N >= estimation_limit (GPI_model.py:974,1092);
+* the first member's latent score reuses its own smoothed state with
+  the LATEST params (GPI_model.py:288-297);
+* the offline pass pair-smooths before each MNIW update
+  (GPI_model.full_pass_weighted, :397-399) while the online commit does
+  NOT (GPI_HDP.py:2185-2197 calls bayesian_new_params directly) —
+  controlled here by ``pair_smooth``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hdpgpc_tpu.models import mniw as mniw_ops
+from hdpgpc_tpu.models.mniw import MNIW
+from hdpgpc_tpu.ops import linalg
+from hdpgpc_tpu.ops.kalman import LDSParams, kalman_step, rts_pair
+from hdpgpc_tpu.ops.kernels import KernelParams, gram
+
+LOG2PI = linalg.LOG2PI
+
+
+class ClusterState(NamedTuple):
+    """Compact per-(cluster, lead) state summary (all fixed shapes)."""
+
+    theta: KernelParams          # fitted kernel hyperparameters
+    K0: jax.Array                # (T, T) kernel gram on the basis (no noise)
+    A_def: jax.Array             # (T, T) default LDS params (post-kernel-fit)
+    Gamma_def: jax.Array
+    C_def: jax.Array
+    Sigma_def: jax.Array
+    n: jax.Array                 # int32 member count
+    f_last: jax.Array            # (T, 1) filtered mean, last member
+    P_last: jax.Array            # (T, T)
+    f_prev: jax.Array            # filtered, second-to-last member
+    P_prev: jax.Array
+    f_sm_last: jax.Array         # smoothed: last three members + first
+    P_sm_last: jax.Array
+    f_sm_prev: jax.Array
+    P_sm_prev: jax.Array
+    f_sm_prev2: jax.Array
+    P_sm_prev2: jax.Array
+    f_sm_first: jax.Array
+    P_sm_first: jax.Array
+    A: jax.Array                 # (T, T) current LDS params
+    Gamma: jax.Array
+    C: jax.Array
+    Sigma: jax.Array
+    A_prev: jax.Array            # params after the second-to-last member
+    Gamma_prev: jax.Array
+    mniw_int: MNIW               # internal (A, Gamma) posterior
+    mniw_obs: MNIW               # observation (C, Sigma) posterior
+
+
+def init_cluster_state(x_basis: jax.Array, theta: KernelParams,
+                       ini_gamma, ini_sigma, free_deg: float,
+                       dtype=jnp.float64) -> ClusterState:
+    """Fresh cluster with GPR_dynamic initial conditions
+    (GPI_model.py:191-205, :115-175)."""
+    T = x_basis.shape[0]
+    eye = jnp.eye(T, dtype=dtype)
+    theta = KernelParams(*[jnp.asarray(v, dtype) for v in theta])
+    K0 = gram(theta, x_basis, x_basis, include_noise=False).astype(dtype)
+    A0, C0 = eye, eye
+    G0 = jnp.asarray(ini_gamma, dtype) * eye
+    S0 = jnp.asarray(ini_sigma, dtype) * eye
+    z = jnp.zeros((T, 1), dtype=dtype)
+    return ClusterState(
+        theta=theta, K0=K0, A_def=A0, Gamma_def=G0, C_def=C0, Sigma_def=S0,
+        n=jnp.asarray(0, jnp.int32),
+        f_last=z, P_last=K0, f_prev=z, P_prev=K0,
+        f_sm_last=z, P_sm_last=K0, f_sm_prev=z, P_sm_prev=K0,
+        f_sm_prev2=z, P_sm_prev2=K0, f_sm_first=z, P_sm_first=K0,
+        A=A0, Gamma=G0, C=C0, Sigma=S0, A_prev=A0, Gamma_prev=G0,
+        mniw_int=mniw_ops.make_mniw(A0, free_deg, G0),
+        mniw_obs=mniw_ops.make_mniw(C0, free_deg, S0),
+    )
+
+
+def reinit_cluster_state(st: ClusterState, free_deg: float) -> ClusterState:
+    """reinit_GP + reinit_LDS(save_last=False): reset the dynamics to
+    the (post-kernel-fit) defaults, keep the fitted kernel
+    (GPI_model.py:408-457). Plays the role of the reference's
+    deepcopy-then-reinit idiom before every refit."""
+    z = jnp.zeros_like(st.f_last)
+    eye = jnp.eye(st.A_def.shape[0], dtype=st.A_def.dtype)
+    return st._replace(
+        n=jnp.asarray(0, jnp.int32),
+        f_last=z, P_last=st.K0, f_prev=z, P_prev=st.K0,
+        f_sm_last=z, P_sm_last=st.K0, f_sm_prev=z, P_sm_prev=st.K0,
+        f_sm_prev2=z, P_sm_prev2=st.K0, f_sm_first=z, P_sm_first=st.K0,
+        A=st.A_def, Gamma=st.Gamma_def, C=st.C_def, Sigma=st.Sigma_def,
+        A_prev=st.A_def, Gamma_prev=st.Gamma_def,
+        mniw_int=MNIW(st.A_def, eye, jnp.asarray(float(free_deg)),
+                      st.Gamma_def),
+        mniw_obs=MNIW(st.C_def, eye, jnp.asarray(float(free_deg)),
+                      st.Sigma_def),
+    )
+
+
+def apply_kernel_fit(st: ClusterState, x_basis, theta: KernelParams
+                     ) -> ClusterState:
+    """Post-kernel-fit state rewrite (GPI_model.fit_kernel_params,
+    GPI_model.py:207-241): Sigma <- noise*I (also as the new default),
+    Gamma <- mean(diag(Gamma))*I, A = C = I, zero mean, cov = new gram;
+    MNIW anchors re-set."""
+    T = st.A.shape[0]
+    dtype = st.A.dtype
+    eye = jnp.eye(T, dtype=dtype)
+    theta = KernelParams(*[jnp.asarray(v, dtype) for v in theta])
+    K0 = gram(theta, x_basis, x_basis, include_noise=False).astype(dtype)
+    S = theta.noise * eye
+    G = jnp.mean(jnp.diag(st.Gamma)) * eye
+    z = jnp.zeros((T, 1), dtype=dtype)
+    return st._replace(
+        theta=theta, K0=K0,
+        Sigma_def=S, A=eye, C=eye, Gamma=G, Sigma=S, A_prev=eye,
+        Gamma_prev=G,
+        f_last=z, P_last=K0, f_prev=z, P_prev=K0,
+        f_sm_last=z, P_sm_last=K0, f_sm_prev=z, P_sm_prev=K0,
+        f_sm_prev2=z, P_sm_prev2=K0, f_sm_first=z, P_sm_first=K0,
+        mniw_int=st.mniw_int._replace(mean=eye, scale=G),
+        mniw_obs=st.mniw_obs._replace(mean=eye, scale=S),
+    )
+
+
+class RefitResult(NamedTuple):
+    q: jax.Array        # (N,) emission scores (compute_sq_err_all parity)
+    q_lat: jax.Array    # (N,) latent scores (compute_q_lat_all parity)
+    snr: jax.Array      # (N,) SNR of each beat vs the closest smoothed
+    #                     state (GPI_HDP.compute_snr, GPI_HDP.py:732-748)
+    state: ClusterState
+
+
+def build_refit(T: int, est_limit: Optional[int] = None,
+                annealing: bool = True, dynamic: bool = True,
+                update_params: bool = True, pair_smooth: bool = True,
+                full_backward: bool = True):
+    """Build the jitted refit program for (static) beat length T.
+
+    Returns ``refit(Y, resp, state) -> RefitResult`` with Y: (N, T) and
+    resp: (N,) hard responsibilities in {0, 1}.
+
+    Variants (all static):
+    * ``update_params=False``: the q_simple path — include members with
+      NO Bayesian update, score everything (GPI_HDP.py:1284-1297).
+    * ``pair_smooth=False``: online-commit semantics (no backwards_pair
+      before the MNIW update, GPI_HDP.py:2185-2197).
+    * ``full_backward=False``: skip the final full RTS pass (online
+      steps never run it).
+
+    Scoring outputs are parity-exact only for fresh-state refits
+    (state.n == 0); continuation calls (online appends) use the state
+    summary and tail primitives instead.
+    """
+    limit = jnp.inf if est_limit is None else float(est_limit)
+
+    def forward_step(carry, inp):
+        (f, P, f_prevF, P_prevF, A, G, C, S, m_int, m_obs, n,
+         noise0, G0diag, S0diag) = carry
+        y, h = inp
+        dtype = f.dtype
+        eye = jnp.eye(T, dtype=dtype)
+        member = h > 0.99
+        first = n == 0
+        N_new = n + 1
+        N_newf = N_new.astype(dtype)
+
+        # Kalman filter update; the last smoothed entry always equals
+        # the last filtered one, so the recursion carries filtered state.
+        f_up, P_up = kalman_step(f, P, y[:, None], LDSParams(A, G, C, S),
+                                 first, noise_first=noise0, h=1.0)
+
+        # Tail-pair smoothing of the previous member (GPI_model.py:705).
+        # With pair_smooth=False (online commit) the previous member's
+        # smoothed list entry stays at its filtered value.
+        if pair_smooth:
+            f_smp_up, P_smp_up = rts_pair(f, P, f_up, P_up, A, G)
+            has_pair = n >= 1
+            f_smp = jnp.where(has_pair, f_smp_up, f)
+            P_smp = jnp.where(has_pair, P_smp_up, P)
+        else:
+            f_smp, P_smp = f, P
+        # Regressor for the internal MNIW update.
+        f_reg = f_smp if pair_smooth else f
+
+        if update_params and dynamic:
+            zero = jnp.zeros((T, T), dtype=dtype)
+            m_int_up = mniw_ops.posterior(m_int, 1, f_up, f_reg, zero, zero,
+                                          zero)
+            m_obs_up = mniw_ops.posterior(m_obs, 1, y[:, None], f_up, zero,
+                                          zero, zero)
+            do_mniw = member & (n >= 1) & (N_newf < limit)
+            m_int_new = jax.tree.map(
+                lambda a, b: jnp.where(do_mniw, a, b), m_int_up, m_int)
+            m_obs_new = jax.tree.map(
+                lambda a, b: jnp.where(do_mniw, a, b), m_obs_up, m_obs)
+
+            G_post = mniw_ops.get_scale(m_int_new, final=False)
+            S_post = mniw_ops.get_scale(m_obs_new, final=False)
+            G_base = jnp.where(n >= 1, G_post, G)
+            S_base = jnp.where(n >= 1, S_post, S)
+            if annealing:
+                G_base = G_base + (G0diag / N_newf**2) * eye
+                S_base = S_base + (S0diag / N_newf**2) * eye
+            do_append = member & (N_newf < limit)
+            A_out = jnp.where(do_append, m_int_new.mean, A)
+            C_out = jnp.where(do_append, m_obs_new.mean, C)
+            G_out = jnp.where(do_append, G_base, G)
+            S_out = jnp.where(do_append, S_base, S)
+            m_int_out = jax.tree.map(lambda a, b: jnp.where(member, a, b),
+                                     m_int_new, m_int)
+            m_obs_out = jax.tree.map(lambda a, b: jnp.where(member, a, b),
+                                     m_obs_new, m_obs)
+        else:
+            A_out, G_out, C_out, S_out = A, G, C, S
+            m_int_out, m_obs_out = m_int, m_obs
+
+        f_next = jnp.where(member, f_up, f)
+        P_next = jnp.where(member, P_up, P)
+        f_prevF_next = jnp.where(member, f, f_prevF)
+        P_prevF_next = jnp.where(member, P, P_prevF)
+        n_out = jnp.where(member, N_new, n)
+
+        score_mean = (C_out @ f_next)[:, 0]
+        L_score = linalg.chol_spd(S_out)
+
+        new_carry = (f_next, P_next, f_prevF_next, P_prevF_next,
+                     A_out, G_out, C_out, S_out, m_int_out, m_obs_out,
+                     n_out, noise0, G0diag, S0diag)
+        # A_prev_out: params as they were BEFORE this step (so at a
+        # member step they are the post-previous-member params).
+        emit = (member, f_next, P_next, A_out, G_out, S_out,
+                score_mean, L_score, f_smp, P_smp, A, G)
+        return new_carry, emit
+
+    def backward_step(carry, inp):
+        f_next_sm, P_next_sm, started = carry
+        member, f_t, P_t, A_t, G_t = inp
+        f_sm_pair, P_sm_pair = rts_pair(f_t, P_t, f_next_sm, P_next_sm,
+                                        A_t, G_t)
+        f_sm = jnp.where(started, f_sm_pair, f_t)
+        P_sm = jnp.where(started, P_sm_pair, P_t)
+        new_carry = (jnp.where(member, f_sm, f_next_sm),
+                     jnp.where(member, P_sm, P_next_sm),
+                     started | member)
+        return new_carry, (f_sm, P_sm)
+
+    @jax.jit
+    def refit(Y, resp, state: ClusterState) -> RefitResult:
+        N = Y.shape[0]
+        dtype = Y.dtype
+        n_before = state.n
+        noise0 = state.theta.noise
+        G0diag = jnp.mean(jnp.diag(state.Gamma_def))
+        S0diag = jnp.mean(jnp.diag(state.Sigma_def))
+
+        carry0 = (state.f_last, state.P_last, state.f_prev, state.P_prev,
+                  state.A, state.Gamma, state.C, state.Sigma,
+                  state.mniw_int, state.mniw_obs, state.n,
+                  noise0, G0diag, S0diag)
+        carryF, emits = jax.lax.scan(forward_step, carry0, (Y, resp))
+        (member, f_filt, P_filt, A_seq, G_seq, S_seq, score_mean, L_score,
+         f_smp, P_smp, A_before, G_before) = emits
+        (f_lastF, P_lastF, f_prevF, P_prevF, A_f, G_f, C_f, S_f,
+         m_int_f, m_obs_f, n_f, *_aux) = carryF
+
+        # ---- full RTS backward pass over members ----
+        if dynamic and full_backward:
+            carryB0 = (f_lastF, P_lastF, jnp.asarray(False))
+            _, (f_sm, P_sm) = jax.lax.scan(
+                backward_step, carryB0,
+                (member, f_filt, P_filt, A_seq, G_seq), reverse=True)
+        else:
+            f_sm, P_sm = f_filt, P_filt
+
+        # ---- emission scores (compute_sq_err_all parity) ----
+        memberi = member.astype(jnp.int32)
+        pos = jnp.cumsum(memberi) - 1                    # member pos per t
+        n_members = jnp.sum(memberi)
+        mt = jnp.zeros((N + 1,), jnp.int32).at[
+            jnp.where(member, pos, N)].set(
+                jnp.arange(N, dtype=jnp.int32), mode="drop")
+        h_nonmember = jnp.maximum(pos, 1) - 1            # i_val - 1
+        gather_idx = jnp.where(member, jnp.arange(N, dtype=jnp.int32),
+                               mt[jnp.clip(h_nonmember, 0, N)])
+        gather_idx = jnp.clip(gather_idx, 0, N - 1)
+
+        mean_g = score_mean[gather_idx]                  # (N, T)
+        Lg = L_score[gather_idx]                         # (N, T, T)
+        diff = (Y - mean_g)[..., None]
+        sol = jax.scipy.linalg.solve_triangular(Lg, diff, lower=True)
+        mahal = jnp.sum(sol[..., 0] ** 2, axis=1)
+        q = -0.5 * mahal - 0.5 * T * LOG2PI
+
+        # first-member covariance inflation
+        first_member = member & (pos == 0)
+        eye = jnp.eye(T, dtype=dtype)
+        idx0 = jnp.clip(mt[0], 0, N - 1)
+        S_first = S_seq[idx0] + (1e-2 * S0diag) * eye
+        L_first = linalg.chol_spd(S_first)
+        diff0 = (Y - score_mean[idx0]).T                 # (T, N)
+        sol0 = jax.scipy.linalg.solve_triangular(L_first, diff0, lower=True)
+        q_first = -0.5 * jnp.sum(sol0**2, axis=0) - 0.5 * T * LOG2PI
+        q = jnp.where(first_member, q_first, q)
+        q = jnp.where(n_members > 0, q, jnp.zeros_like(q))
+
+        # ---- latent scores (compute_q_lat_all parity) ----
+        if dynamic:
+            prev_idx = jnp.clip(mt[jnp.clip(pos - 1, 0, N)], 0, N - 1)
+            lat_cur = f_sm                                # (N, T, 1)
+            lat_prev = f_sm[prev_idx]
+            cov_prev = P_sm[prev_idx]
+            A_j, G_j = A_seq, G_seq
+            is_first = first_member[:, None, None]
+            lat_prev = jnp.where(is_first, f_sm, lat_prev)
+            cov_prev = jnp.where(is_first, P_sm, cov_prev)
+            A_j = jnp.where(is_first, A_f[None], A_j)
+            G_j = jnp.where(is_first, G_f[None], G_j)
+
+            resid = lat_cur - A_j @ lat_prev
+            Lg2 = jax.vmap(linalg.chol_spd)(G_j)
+            sol2 = jax.scipy.linalg.solve_triangular(Lg2, resid, lower=True)
+            mahal2 = jnp.sum(sol2[..., 0] ** 2, axis=1)
+            Ginv_A = jax.vmap(linalg.cho_solve)(Lg2, A_j)
+            # trace(A' G^-1 A P) = sum(A * (G^-1 A P))
+            trace = jnp.sum(A_j * (Ginv_A @ cov_prev), axis=(1, 2))
+            q_lat = -0.5 * (mahal2 + trace) - 0.5 * T * LOG2PI
+            q_lat = jnp.where(member & (n_members > 0), q_lat,
+                              jnp.zeros_like(q_lat))
+        else:
+            q_lat = jnp.zeros((N,), dtype=dtype)
+
+        # ---- SNR vs closest smoothed state (GPI_HDP.compute_snr):
+        # j = min(max(closest_lower(t), 1), n_members); target =
+        # f_star_sm[j] = smoothed state of member j-1;
+        # snr = 10 log10(||f||^2 / ||f - y||^2) (torchmetrics semantics).
+        j_idx = jnp.clip(jnp.maximum(pos, 1), 1, jnp.maximum(n_members, 1))
+        snr_gather = jnp.clip(mt[j_idx - 1], 0, N - 1)
+        f_tgt = f_sm[snr_gather][..., 0]                 # (N, T)
+        num = jnp.sum(f_tgt**2, axis=1)
+        den = jnp.sum((f_tgt - Y) ** 2, axis=1)
+        snr = 10.0 * (jnp.log10(jnp.maximum(num, 1e-300))
+                      - jnp.log10(jnp.maximum(den, 1e-300)))
+
+        # ---- compact state summary ----
+        mb = n_members
+        idx_last = jnp.clip(mt[jnp.maximum(mb - 1, 0)], 0, N - 1)
+        idx_prev = jnp.clip(mt[jnp.maximum(mb - 2, 0)], 0, N - 1)
+        idx_prev2 = jnp.clip(mt[jnp.maximum(mb - 3, 0)], 0, N - 1)
+
+        def sel3(cond_pairs, default):
+            out = default
+            for cond, val in reversed(cond_pairs):
+                out = jnp.where(cond, val, out)
+            return out
+
+        f_sm_prev_new = sel3(
+            [(mb >= 2, f_sm[idx_prev]),
+             ((mb == 1) & (n_before >= 1), f_smp[idx_last])],
+            state.f_sm_prev)
+        P_sm_prev_new = sel3(
+            [(mb >= 2, P_sm[idx_prev]),
+             ((mb == 1) & (n_before >= 1), P_smp[idx_last])],
+            state.P_sm_prev)
+        f_sm_prev2_new = sel3(
+            [(mb >= 3, f_sm[idx_prev2]),
+             ((mb == 2) & (n_before >= 1), f_smp[idx_prev]),
+             (mb == 1, state.f_sm_prev)],
+            state.f_sm_prev2)
+        P_sm_prev2_new = sel3(
+            [(mb >= 3, P_sm[idx_prev2]),
+             ((mb == 2) & (n_before >= 1), P_smp[idx_prev]),
+             (mb == 1, state.P_sm_prev)],
+            state.P_sm_prev2)
+        f_sm_first_new = sel3(
+            [((n_before == 0) & (mb >= 1), f_sm[idx0]),
+             ((n_before == 1) & (mb >= 1), f_smp[idx0])],
+            state.f_sm_first)
+        P_sm_first_new = sel3(
+            [((n_before == 0) & (mb >= 1), P_sm[idx0]),
+             ((n_before == 1) & (mb >= 1), P_smp[idx0])],
+            state.P_sm_first)
+        A_prev_new = sel3(
+            [(mb >= 2, A_seq[idx_prev]), (mb == 1, state.A)], state.A_prev)
+        G_prev_new = sel3(
+            [(mb >= 2, G_seq[idx_prev]), (mb == 1, state.Gamma)],
+            state.Gamma_prev)
+
+        has = mb > 0
+        has2 = n_f > 1
+
+        def pick(arr, idx, default, cond=has):
+            return jnp.where(cond, arr[idx], default)
+
+        new_state = state._replace(
+            n=n_f,
+            f_last=pick(f_filt, idx_last, state.f_last),
+            P_last=pick(P_filt, idx_last, state.P_last),
+            f_prev=jnp.where(has & has2, f_prevF, state.f_prev),
+            P_prev=jnp.where(has & has2, P_prevF, state.P_prev),
+            f_sm_last=pick(f_sm, idx_last, state.f_sm_last),
+            P_sm_last=pick(P_sm, idx_last, state.P_sm_last),
+            f_sm_prev=f_sm_prev_new, P_sm_prev=P_sm_prev_new,
+            f_sm_prev2=f_sm_prev2_new, P_sm_prev2=P_sm_prev2_new,
+            f_sm_first=f_sm_first_new, P_sm_first=P_sm_first_new,
+            A=A_f, Gamma=G_f, C=C_f, Sigma=S_f,
+            A_prev=A_prev_new, Gamma_prev=G_prev_new,
+            mniw_int=m_int_f, mniw_obs=m_obs_f,
+        )
+        return RefitResult(q=q, q_lat=q_lat, snr=snr, state=new_state)
+
+    return refit
+
+
+@jax.jit
+def lds_param_elbo(state: ClusterState, free_deg) -> jax.Array:
+    """return_LDS_param_likelihood parity (GPI_model.py:459-486):
+    MNIW log-density of the current (A, Gamma) and (C, Sigma) under
+    fresh priors anchored at the defaults, scaled by /T * 100 (the
+    reference's arbitrary scaling, :486). Gamma term dropped when the
+    default Gamma is all-zero (static model)."""
+    T = state.A.shape[0]
+    eye = jnp.eye(T, dtype=state.A.dtype)
+    int_prior = MNIW(state.A_def, eye, free_deg, state.Gamma_def)
+    obs_prior = MNIW(state.C_def, eye, free_deg, state.Sigma_def)
+    lik_AG = mniw_ops.log_likelihood(int_prior, state.A, state.Gamma)
+    lik_AG = jnp.where(jnp.any(state.Gamma_def != 0.0), lik_AG, 0.0)
+    lik_CS = mniw_ops.log_likelihood(obs_prior, state.C, state.Sigma)
+    return (lik_AG + lik_CS) / T * 100.0
+
+
+# ---------------------------------------------------------------------------
+# Online single-sample primitives (include_sample support)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def log_sq_error_last(state: ClusterState, y: jax.Array) -> jax.Array:
+    """Score a new beat against the cluster's last state
+    (GPI_model.log_sq_error with i=-1: mean = C f_last, cov = Sigma)."""
+    mean = (state.C @ state.f_last)[:, 0]
+    return linalg.gaussian_score(y - mean, state.Sigma)
+
+
+@jax.jit
+def estimate_new(state: ClusterState, y: jax.Array) -> jax.Array:
+    """Score assuming the beat were included (GPI_HDP.estimate_new,
+    GPI_HDP.py:2830-2842): posterior update with current params, then
+    score against the posterior mean; first-member inflation when the
+    cluster would have exactly one member."""
+    first = state.n == 0
+    f_up, _ = kalman_step(state.f_last, state.P_last, y[:, None],
+                          LDSParams(state.A, state.Gamma, state.C,
+                                    state.Sigma),
+                          first, noise_first=state.theta.noise, h=1.0)
+    mean = (state.C @ f_up)[:, 0]
+    eye = jnp.eye(mean.shape[0], dtype=mean.dtype)
+    infl = 1e-2 * jnp.mean(jnp.diag(state.Sigma_def))
+    # Inflation iff the cluster currently has exactly one member
+    # (reference: ``len(gpmodel.indexes) == 1``, GPI_HDP.py:2836).
+    cov = state.Sigma + jnp.where(state.n == 1, infl, 0.0) * eye
+    return linalg.gaussian_score(y - mean, cov)
+
+
+def q_lat_tail(state: ClusterState, h_ini: float = 1.0):
+    """Latent-score patch values for (first, second-to-last, last)
+    members from the compact summary (log_lat_error semantics,
+    GPI_model.py:288-323). The caller scatters them at those members'
+    time indices — the only q_lat entries an online step can change."""
+
+    def score(lat_cur, lat_prev, cov_prev, A_, G_):
+        resid = lat_cur - A_ @ lat_prev
+        L = linalg.chol_spd(G_)
+        sol = jax.scipy.linalg.solve_triangular(L, resid, lower=True)
+        mahal = jnp.sum(sol**2)
+        Ginv_A = linalg.cho_solve(L, A_)
+        trace = jnp.sum(A_ * (Ginv_A @ cov_prev))
+        q = resid.shape[0]
+        return -0.5 * (mahal + trace) - 0.5 * q * LOG2PI
+
+    val_first = score(state.f_sm_first, state.f_sm_first, state.P_sm_first,
+                      state.A, state.Gamma * h_ini)
+    val_prev = score(state.f_sm_prev, state.f_sm_prev2, state.P_sm_prev2,
+                     state.A_prev, state.Gamma_prev)
+    val_last = score(state.f_sm_last, state.f_sm_prev, state.P_sm_prev,
+                     state.A, state.Gamma)
+    return val_first, val_prev, val_last

@@ -1,0 +1,1231 @@
+"""HDP-GPC orchestrator: offline batch VI, online streaming VI,
+classification and continued learning.
+
+TPU-native re-architecture of the reference's GPI_HDP class
+(GPI_HDP.py:30-4251). The accept/reject search over births and
+reallocations is inherently data-dependent control flow, so — like the
+reference — it runs at the Python level; unlike the reference, every
+heavy step is ONE compiled XLA program on fixed-shape arrays:
+
+* per-cluster refits: fused scan programs (models/gplds.build_refit);
+* HMM forward/backward + hard responsibilities: ops/hmm.fb_hard;
+* kernel hyperparameter fits: models/kernel_fit (optax Adam in jit,
+  cached per (lead, seed-beat));
+* batched monotone warps: warp/monotone (cached per (lead, ref-beat),
+  mirroring GPI_HDP._warp_cache_full, GPI_HDP.py:3412-3517);
+* HDP stick-breaking (tiny, host): ops/stick_breaking.
+
+Known deliberate divergences from the reference (documented):
+* the reference's online ``reorder`` shares one gpmodels list across
+  leads (GPI_HDP.py:1102 ``[[] * M] * n_outputs``) — a latent aliasing
+  bug for n_outputs > 1; we keep per-lead lists.
+* the GPyTorch Adam kernel fit is replaced by an equivalent optax Adam
+  program (same lr / iteration budget / plateau rule / lengthscale pin);
+  bit-level parity with torch Adam is not guaranteed.
+"""
+
+from __future__ import annotations
+
+import pickle
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hdpgpc_tpu.config import GPConfig, HDPConfig, ModelConfig, WarpConfig
+from hdpgpc_tpu.data.priors import redefine_default_priors
+from hdpgpc_tpu.models import gplds
+from hdpgpc_tpu.models.gplds import ClusterState
+from hdpgpc_tpu.models.kernel_fit import fit_kernel
+from hdpgpc_tpu.ops import hmm as hmm_ops
+from hdpgpc_tpu.ops import stick_breaking as sb
+from hdpgpc_tpu.ops.kernels import KernelParams
+from hdpgpc_tpu.warp.monotone import (build_batch_warp, make_warp_prior,
+                                      warp_prior_score)
+
+
+class Cluster:
+    """Host-side handle: compiled cluster state + bookkeeping."""
+
+    __slots__ = ("state", "fitted", "members")
+
+    def __init__(self, state: ClusterState, fitted: bool = False,
+                 members: Optional[np.ndarray] = None):
+        self.state = state
+        self.fitted = fitted
+        self.members = (np.zeros(0, np.int64) if members is None
+                        else np.asarray(members, np.int64))
+
+    def clone(self) -> "Cluster":
+        return Cluster(self.state, self.fitted, self.members.copy())
+
+
+class HDPGPC:
+    """Switching GP-LDS mixture with an HDP prior over the HMM structure.
+
+    Constructor accepts either a ``ModelConfig`` or the reference-style
+    kwargs (subset) for drop-in convenience (GPI_HDP.__init__,
+    GPI_HDP.py:100-174).
+    """
+
+    def __init__(self, x_basis, M: Optional[int] = None, n_outputs: int = 1,
+                 x_basis_warp=None, model_type: str = "dynamic",
+                 ini_lengthscale: float = 3.0,
+                 bound_lengthscale: Tuple[float, float] = (1.0, 20.0),
+                 ini_gamma: Optional[float] = None,
+                 ini_sigma: Optional[float] = None,
+                 ini_outputscale: Optional[float] = None,
+                 bound_sigma: Tuple[float, float] = (1e-10, 1e10),
+                 bound_gamma: Tuple[float, float] = (1e-1, 1e2),
+                 bound_noise_warp: Tuple[float, float] = (1e-10, 1e10),
+                 noise_warp: float = 0.05,
+                 method_compute_warp: str = "greedy",
+                 mode_warp: str = "rough", verbose: bool = False,
+                 annealing: bool = True, hmm_switch: bool = True,
+                 max_models: Optional[int] = None,
+                 bayesian_params: bool = True,
+                 inducing_points: bool = False,
+                 estimation_limit: Optional[int] = None,
+                 reestimate_initial_params: bool = False,
+                 n_explore_steps: int = 10, free_deg_MNIV: int = 5,
+                 share_gp: bool = False, use_snr: bool = True,
+                 hdp_hyp: str = "balanced",
+                 config: Optional[ModelConfig] = None, **_ignored):
+        if config is None:
+            hdp = HDPConfig.preset(hdp_hyp)
+            gp_cfg = GPConfig(
+                ini_lengthscale=float(ini_lengthscale),
+                bound_lengthscale=tuple(bound_lengthscale),
+                ini_outputscale=float(ini_outputscale
+                                      if ini_outputscale is not None
+                                      else (ini_sigma or 1.0)),
+                ini_sigma=float(ini_sigma if ini_sigma is not None else 0.25),
+                ini_gamma=float(ini_gamma if ini_gamma is not None else 0.01),
+                bound_sigma=tuple(bound_sigma),
+                bound_gamma=tuple(bound_gamma),
+                model_type=model_type, annealing=annealing,
+                free_deg_mniw=int(free_deg_MNIV),
+                estimation_limit=estimation_limit)
+            warp_cfg = WarpConfig(noise_warp=float(noise_warp),
+                                  bound_noise_warp=tuple(bound_noise_warp),
+                                  mode=mode_warp, method=method_compute_warp)
+            config = ModelConfig(
+                n_outputs=n_outputs, initial_clusters=M or 1,
+                max_models=max_models, hmm_switch=hmm_switch,
+                bayesian_params=bayesian_params, use_snr=use_snr,
+                share_gp=share_gp, n_explore_steps=n_explore_steps,
+                reestimate_initial_params=reestimate_initial_params,
+                hdp=hdp, gp=gp_cfg, warp=warp_cfg, verbose=verbose)
+        self.cfg = config
+        self.verbose = config.verbose
+        self.n_outputs = config.n_outputs
+        self.M = config.initial_clusters
+        self.x_basis = np.asarray(x_basis, np.float64).reshape(-1)
+        self.Tb = self.x_basis.shape[0]
+        x_basis_warp = (self.x_basis if x_basis_warp is None
+                        else np.asarray(x_basis_warp, np.float64).reshape(-1))
+        self.x_basis_warp = x_basis_warp
+
+        # mutable defaults (redefine_default may overwrite; GPI_HDP.py:1866)
+        g = config.gp
+        self._def_sigma = g.ini_sigma
+        self._def_gamma = g.ini_gamma
+        self._def_bound_sigma = g.bound_sigma
+        self._def_bound_gamma = g.bound_gamma
+        self._def_outputscale = g.ini_outputscale
+        self._def_lengthscale = g.ini_lengthscale
+
+        # clusters per lead
+        self.clusters: List[List[Cluster]] = [
+            [self._new_cluster() for _ in range(self.M)]
+            for _ in range(self.n_outputs)]
+
+        # HDP globals
+        h = config.hdp
+        self.glob = sb.init_globals(self.M, h.gamma, h.trans_alpha,
+                                    h.start_alpha, h.kappa)
+
+        # streaming / bookkeeping state
+        self.T_count = 0
+        self.train_elbo: List[float] = []
+        self.resp_assigned: List[np.ndarray] = []
+        self.snr_norm = np.ones((0, self.n_outputs))
+        self.f_ind_old = np.zeros(self.M, np.int64)
+        self.warp = False
+        self._warp_cache: Dict = {}
+        self._kernel_fit_cache: Dict = {}
+        self._x_all: List[np.ndarray] = []     # per-beat time grids
+        self._y_all: Optional[np.ndarray] = None  # (T_count, Tb, L)
+        self.q_last = None          # (T_count, M, L)
+        self.q_lat_last = None
+        self.resp_last = None
+        self.respPair_last = None
+        self.elbo_last = None
+
+        # compiled program caches
+        self._refits = {}
+        self._warp_fn = None
+        self._warp_priors = {}
+
+    # ------------------------------------------------------------------
+    # cluster construction / refit plumbing
+    # ------------------------------------------------------------------
+
+    def _default_theta(self) -> KernelParams:
+        """Default kernel theta: Constant(outputscale) * RBF(lengthscale)
+        + White(bound_sigma[0]) (GPI_HDP.py:159-166: noise initialised at
+        the LOWER noise bound)."""
+        return KernelParams(
+            outputscale=jnp.asarray(self._def_outputscale, jnp.float64),
+            lengthscale=jnp.asarray(self._def_lengthscale, jnp.float64),
+            noise=jnp.asarray(self._def_bound_sigma[0], jnp.float64))
+
+    def _new_cluster(self) -> Cluster:
+        st = gplds.init_cluster_state(
+            jnp.asarray(self.x_basis), self._default_theta(),
+            self._def_gamma, self._def_sigma,
+            float(self.cfg.gp.free_deg_mniw))
+        return Cluster(st, fitted=False)
+
+    def _refit_prog(self, update_params=True, pair_smooth=True,
+                    full_backward=True):
+        key = (update_params, pair_smooth, full_backward)
+        if key not in self._refits:
+            self._refits[key] = gplds.build_refit(
+                self.Tb, est_limit=self.cfg.gp.estimation_limit,
+                annealing=self.cfg.gp.annealing,
+                dynamic=self.cfg.gp.model_type == "dynamic",
+                update_params=update_params, pair_smooth=pair_smooth,
+                full_backward=full_backward)
+        return self._refits[key]
+
+    def _maybe_kernel_fit(self, cl: Cluster, ld: int, Y: np.ndarray,
+                          resp_col: np.ndarray) -> Cluster:
+        """First-active-sample kernel hyperparameter fit
+        (GPI_model.include_weighted_sample -> fit_kernel_params,
+        GPI_model.py:353-365). Cached per (lead, seed index)."""
+        if cl.fitted:
+            return cl
+        active = np.flatnonzero(resp_col > 0.99)
+        if active.size == 0:
+            return cl
+        seed = int(active[0])
+        key = (ld, seed, self._def_bound_sigma)
+        theta = self._kernel_fit_cache.get(key)
+        if theta is None:
+            theta = fit_kernel(self.x_basis, Y[seed], self._def_bound_sigma,
+                               pin_lengthscale=self.cfg.gp.kernel_fit_pin_lengthscale,
+                               max_iters=self.cfg.gp.kernel_fit_iters,
+                               lr=self.cfg.gp.kernel_fit_lr)
+            theta = KernelParams(*(np.float64(v) for v in theta))
+            self._kernel_fit_cache[key] = theta
+            if self.verbose:
+                print(f"---Kernel estimated--- lead {ld} seed {seed}: "
+                      f"scale={float(theta.outputscale):.4g} "
+                      f"noise={float(theta.noise):.4g}")
+        st = gplds.apply_kernel_fit(cl.state, jnp.asarray(self.x_basis),
+                                    KernelParams(*map(jnp.asarray, theta)))
+        return Cluster(st, fitted=True, members=cl.members)
+
+    def _full_refit(self, cl: Cluster, ld: int, Y: np.ndarray,
+                    resp_col: np.ndarray, update_params=True):
+        """reinit + (kernel fit) + fused refit. Y: (N, T) for this lead.
+
+        Returns (q, q_lat, snr, Cluster)."""
+        st = gplds.reinit_cluster_state(cl.state,
+                                        float(self.cfg.gp.free_deg_mniw))
+        cl2 = Cluster(st, cl.fitted, cl.members)
+        cl2 = self._maybe_kernel_fit(cl2, ld, Y, resp_col)
+        prog = self._refit_prog(update_params=update_params)
+        res = prog(jnp.asarray(Y), jnp.asarray(resp_col), cl2.state)
+        members = np.flatnonzero(resp_col > 0.99)
+        out = Cluster(res.state, cl2.fitted, members)
+        return (np.asarray(res.q), np.asarray(res.q_lat),
+                np.asarray(res.snr), out)
+
+    # ------------------------------------------------------------------
+    # SNR fusion (GPI_HDP.py:663-756)
+    # ------------------------------------------------------------------
+
+    def compute_snr_ini(self, y_trains: np.ndarray) -> None:
+        """Initial per-(beat, lead) SNR vs the mean beat, softmaxed over
+        leads (GPI_HDP.compute_snr_ini, GPI_HDP.py:715-730)."""
+        N, _, L = y_trains.shape
+        if self.cfg.use_snr:
+            mean_beat = y_trains.mean(axis=0)           # (T, L)
+            num = np.sum(mean_beat**2, axis=0)          # target energy (L,)
+            den = np.sum((y_trains - mean_beat[None]) ** 2, axis=1)  # (N, L)
+            snr = 10.0 * (np.log10(np.maximum(num[None, :], 1e-300))
+                          - np.log10(np.maximum(den, 1e-300)))
+            e = np.exp(snr - snr.max(axis=1, keepdims=True))
+            self.snr_norm = e / e.sum(axis=1, keepdims=True)
+        else:
+            self.snr_norm = np.ones((N, L))
+
+    def normalize_snr(self, snr: np.ndarray) -> np.ndarray:
+        """softmax over leads of max-over-clusters (GPI_HDP.py:750-756)."""
+        m = snr.max(axis=1)                              # (N, L)
+        e = np.exp(m - m.max(axis=1, keepdims=True))
+        return e / e.sum(axis=1, keepdims=True)
+
+    def weight_mean(self, q: np.ndarray, snr: Optional[np.ndarray] = None
+                    ) -> np.ndarray:
+        """SNR-weighted fusion across leads (GPI_HDP.weight_mean,
+        GPI_HDP.py:685-701)."""
+        if q.ndim > 2:
+            w = self.snr_norm if snr is None else self.normalize_snr(snr)
+            return np.einsum("ijk,ik->ij", q, w)
+        if snr is None:
+            frac = self.snr_norm.sum(axis=0) / self.snr_norm.sum()
+        else:
+            w = self.normalize_snr(snr)
+            frac = w.sum(axis=0) / w.sum()
+        return np.einsum("ij,j->i", q, frac)
+
+    # ------------------------------------------------------------------
+    # HMM message passing wrappers
+    # ------------------------------------------------------------------
+
+    def _pis(self, M: int):
+        transPi = sb.trans_log_pi_from_theta(self.glob.trans_theta, M,
+                                             jitter=1e-5)
+        startPi = sb.start_log_pi_from_theta(self.glob.start_theta, M,
+                                             jitter=1e-5)
+        return startPi, transPi
+
+    @staticmethod
+    def _expand_pis(startPi, transPi, K):
+        """Pad to K columns with -inf (compute_trans_A/_pi,
+        GPI_HDP.py:3527-3543)."""
+        Mp = transPi.shape[0]
+        if Mp == K:
+            return startPi, transPi
+        tp = np.full((K, K), -np.inf)
+        tp[:Mp, :Mp] = transPi[:, :Mp]
+        sp = np.full((K,), -np.inf)
+        sp[:min(Mp, K)] = startPi[:min(Mp, K)]
+        return sp, tp
+
+    def _fb(self, q_w: np.ndarray, startPi, transPi):
+        """Hard FB (variational local step). q_w: (N, K) fused logs."""
+        K = q_w.shape[1]
+        sp, tp = self._expand_pis(np.asarray(startPi), np.asarray(transPi), K)
+        resp, logresp, respPair, logrespPair = hmm_ops.fb_hard(
+            jnp.asarray(sp), jnp.asarray(tp), jnp.asarray(q_w))
+        return (np.asarray(resp), np.asarray(logresp),
+                np.asarray(respPair), np.asarray(logrespPair))
+
+    # ------------------------------------------------------------------
+    # ELBO accounting (GPI_HDP.compute_q_elbo, GPI_HDP.py:1796-1864)
+    # ------------------------------------------------------------------
+
+    def _full_lds_elbo(self, clusters_ld: List[Cluster],
+                       sum_resp: np.ndarray) -> float:
+        elb = 0.0
+        M_ = int(np.sum(sum_resp > 0))
+        if M_ == 0:
+            return 0.0
+        frac = sum_resp / max(sum_resp.sum(), 1e-300)
+        fd = float(self.cfg.gp.free_deg_mniw)
+        for i, cl in enumerate(clusters_ld):
+            if i < sum_resp.shape[0] and sum_resp[i] > 0:
+                elb += float(gplds.lds_param_elbo(cl.state, fd)) * frac[i]
+        return elb / M_
+
+    def compute_q_elbo(self, resp, respPair, q_w, q_lat_w, clusters, M,
+                       snr="saved", post=False, one_sample=False,
+                       verb=None):
+        n_points = 1 if one_sample else self.Tb
+        sel = resp == 1.0
+        q_bas = float(np.sum(q_w[sel]))
+        elbo_latent = float(np.sum(q_lat_w[sel]))
+        elbo_lin = sb.elbo_linears(self.glob, resp, respPair, post=post,
+                                   one_sample=one_sample) * n_points
+        if snr is None:
+            frac = np.ones(self.n_outputs) / self.n_outputs
+        elif isinstance(snr, str) and snr == "saved":
+            f = self.snr_norm.sum(axis=0)
+            frac = f / f.sum() * n_points
+        else:
+            w = self.normalize_snr(snr)
+            f = w.sum(axis=0)
+            frac = f / f.sum() * n_points
+        sum_resp = resp.sum(axis=0)
+        elbo_lds = sum(self._full_lds_elbo(clusters[ld], sum_resp) * frac[ld]
+                       for ld in range(self.n_outputs))
+        if verb is None:
+            verb = self.verbose
+        if verb:
+            print("Sum resp_temp: "
+                  + str(sum_resp.astype(np.int64)) + " - Total: "
+                  + str(int(resp.sum())))
+            print(f"Q_em: {q_bas:.2f}, Q_lat: {elbo_latent:.2f}, "
+                  f"Elbo_linear: {elbo_lin:.2f}, Elbo_LDS: {elbo_lds:.2f}")
+        if self.cfg.hmm_switch:
+            elbo = elbo_lin + elbo_lds + elbo_latent
+        else:
+            elbo = elbo_latent
+        return q_bas, float(elbo)
+
+    # ------------------------------------------------------------------
+    # HDP global updates
+    # ------------------------------------------------------------------
+
+    def _hdp_global_update(self, resp, respPair, M, n_iters=2,
+                           theta_M=None):
+        if self.cfg.hmm_switch:
+            start_counts = resp[0]
+            trans_counts = respPair.sum(axis=0)
+        else:
+            trans_counts = np.ones((M + 1, M + 1))
+            start_counts = np.ones(M + 1)
+        self.glob = sb.reinit_globals(self.glob, M, trans_counts,
+                                      start_counts)
+        tm = (M + 1) if theta_M is None else theta_M
+        for _ in range(n_iters):
+            tt, st = sb.calc_theta_full(self.glob, trans_counts,
+                                        start_counts, tm)
+            self.glob = sb.HDPGlobals(self.glob.rho, self.glob.omega, tt, st,
+                                      self.glob.gamma, self.glob.trans_alpha,
+                                      self.glob.start_alpha, self.glob.kappa)
+            self.glob = sb.optimise_globals(self.glob, M=self.M + 1)
+
+    # ------------------------------------------------------------------
+    # Warp orchestration (identity when warp disabled, GPI_HDP.py:3441)
+    # ------------------------------------------------------------------
+
+    def _warp_by_resp(self, x_trains, y_trains, resp, f_ind_old):
+        """Batched warp keyed by representative beats, cached per
+        (lead, ref-beat) (warp_batch_by_resp_amtgp_cached,
+        GPI_HDP.py:3412-3517).
+
+        Returns (y_w, x_w, liks): y_w (N, T, L, M) warped per cluster,
+        liks (N, M, L)."""
+        N, T, L = y_trains.shape
+        M = resp.shape[1]
+        if not self.warp:
+            y_w = np.broadcast_to(y_trains[..., None], (N, T, L, M))
+            x_w = np.broadcast_to(x_trains[..., None, None], (N, T, L, M))
+            return y_w, x_w, np.zeros((N, M, L))
+
+        if self._warp_fn is None:
+            w = self.cfg.warp
+            self._warp_fn = build_batch_warp(
+                T, n_ctrl=w.n_ctrl, lr=w.lr, lam_s_base=w.lambda_smooth,
+                lam_a_base=w.lambda_amp, train_iter=w.train_iter_batch)
+        w = self.cfg.warp
+        prior = self._warp_priors.get(T)
+        if prior is None:
+            prior = make_warp_prior(jnp.asarray(self.x_basis), w.noise_warp,
+                                    w.bound_noise_warp)
+            self._warp_priors[T] = prior
+
+        y_w = np.empty((N, T, L, M))
+        x_w = np.empty((N, T, L, M))
+        liks = np.zeros((N, M, L))
+        x0 = jnp.asarray(self.x_basis)
+        theta_rho = jnp.asarray(self._def_lengthscale)
+        noise = jnp.asarray(np.sqrt(self._def_sigma))
+        for ld in range(L):
+            for m in range(M):
+                ref = int(f_ind_old[min(m, f_ind_old.shape[0] - 1)])
+                key = (ld, ref)
+                if key in self._warp_cache:
+                    xw, yw, lk = self._warp_cache[key]
+                else:
+                    y_model = jnp.asarray(y_trains[ref, :, ld])
+                    res = self._warp_fn(x0, jnp.asarray(y_trains[:, :, ld]),
+                                        y_model, prior, theta_rho,
+                                        jnp.asarray(1.0), noise)
+                    base = np.asarray(warp_prior_score(prior, res.x_warp))
+                    xw = np.asarray(res.x_warp)
+                    yw = np.asarray(res.y_warp)
+                    lk = np.asarray(res.lik) + base
+                    self._warp_cache[key] = (xw, yw, lk)
+                y_w[:, :, ld, m] = yw
+                x_w[:, :, ld, m] = xw
+                liks[:, m, ld] = lk
+        return y_w, x_w, liks
+
+    def reset_warp_cache(self):
+        self._warp_cache = {}
+
+    # ------------------------------------------------------------------
+    # Group bookkeeping (refill / reorder / grow / shrink)
+    # ------------------------------------------------------------------
+
+    def _refill(self, resp, respPair):
+        """Swap an empty column with the last one, or signal sweep end
+        (GPI_HDP.refill / refill_resp, GPI_HDP.py:1076-1168)."""
+        per_group = resp.sum(axis=0)
+        print("Group responsability estimated: "
+              + str(per_group.astype(np.int64)), flush=True)
+        if np.any(per_group[:-1] < 1.0):
+            if per_group[-1] >= 1.0:
+                empty = int(np.flatnonzero(per_group < 1.0)[0])
+                perm = np.arange(resp.shape[1])
+                perm[[empty, -1]] = perm[[-1, empty]]
+                resp = resp[:, perm]
+                respPair = respPair[:, perm][:, :, perm]
+            else:
+                print("Empty group detected, new iteration.\n")
+                return resp, respPair, True
+        return resp, respPair, False
+
+    @staticmethod
+    def _grow_cols(resp, respPair, q, q_lat, snr):
+        """Append an (empty) cluster column (new_group, GPI_HDP.py:1112)."""
+        N, M = resp.shape
+        L = q.shape[2]
+        resp2 = np.zeros((N, M + 1)); resp2[:, :-1] = resp
+        rp2 = np.zeros((N, M + 1, M + 1)); rp2[:, :-1, :-1] = respPair
+        q2 = np.zeros((N, M + 1, L)); q2[:, :-1] = q
+        ql2 = np.zeros((N, M + 1, L)); ql2[:, :-1] = q_lat
+        snr2 = np.zeros((N, M + 1, L))
+        snr2 -= np.abs(snr.min(axis=1))[:, None] * 2.0
+        snr2[:, :-1] = snr
+        return resp2, rp2, q2, ql2, snr2
+
+    @staticmethod
+    def _drop_last_col(resp, respPair, q, q_lat, snr):
+        return (resp[:, :-1], respPair[:, :-1, :-1], q[:, :-1],
+                q_lat[:, :-1], snr[:, :-1])
+
+    def member_indexes(self) -> List[np.ndarray]:
+        return [cl.members for cl in self.clusters[0]]
+
+    def selected_gpmodels(self) -> List[int]:
+        return [i for i, cl in enumerate(self.clusters[0])
+                if cl.members.size > 0]
+
+    def compute_Pi(self) -> np.ndarray:
+        """Posterior-mean transition matrix (GPI_HDP.compute_Pi,
+        GPI_HDP.py:424-429)."""
+        from scipy.special import digamma
+        d = digamma(self.glob.trans_theta)
+        return np.exp(d - np.log(np.sum(np.exp(d), axis=1))[:, None])
+
+    # ------------------------------------------------------------------
+    # Persistence (save_swgp, GPI_HDP.py:3946-3950)
+    # ------------------------------------------------------------------
+
+    def save_swgp(self, path: str) -> None:
+        payload = {
+            "cfg": self.cfg,
+            "x_basis": self.x_basis,
+            "M": self.M,
+            "glob": self.glob,
+            "clusters": [[(jax.device_get(cl.state), cl.fitted, cl.members)
+                          for cl in row] for row in self.clusters],
+            "snr_norm": self.snr_norm,
+            "f_ind_old": self.f_ind_old,
+            "T_count": self.T_count,
+            "train_elbo": self.train_elbo,
+            "resp_assigned": [np.asarray(r) for r in self.resp_assigned],
+            "caches": (self.q_last, self.q_lat_last, self.resp_last,
+                       self.respPair_last, self.elbo_last),
+        }
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    @staticmethod
+    def load_swgp(path: str) -> "HDPGPC":
+        with open(path, "rb") as f:
+            p = pickle.load(f)
+        model = HDPGPC(p["x_basis"], config=p["cfg"])
+        model.M = p["M"]
+        model.glob = p["glob"]
+        model.clusters = [[Cluster(jax.tree.map(jnp.asarray, st), f, m)
+                           for (st, f, m) in row] for row in p["clusters"]]
+        model.snr_norm = p["snr_norm"]
+        model.f_ind_old = p["f_ind_old"]
+        model.T_count = p["T_count"]
+        model.train_elbo = p["train_elbo"]
+        model.resp_assigned = list(p["resp_assigned"])
+        (model.q_last, model.q_lat_last, model.resp_last,
+         model.respPair_last, model.elbo_last) = p["caches"]
+        return model
+
+    # ------------------------------------------------------------------
+    # Offline batch VI (GPI_HDP.include_batch, GPI_HDP.py:805-947)
+    # ------------------------------------------------------------------
+
+    def include_batch(self, x_trains, y_trains, it_limit: Optional[int] = None,
+                      with_warp: bool = False):
+        """Run the offline variational sweep over a batch of beats.
+
+        x_trains: (N, T) or (N, T, 1) time grids (shared grid assumed);
+        y_trains: (N, T, L).
+        """
+        self.warp = bool(with_warp)
+        y = np.asarray(y_trains, np.float64)
+        if y.ndim == 2:
+            y = y[:, :, None]
+        x = np.asarray(x_trains, np.float64)
+        x = x.reshape(x.shape[0], -1) if x.ndim > 1 else x
+        N, T, L = y.shape
+        assert T == self.Tb and L == self.n_outputs
+        h = self.cfg.hdp
+        print("------ HDP Hyperparameters ------", flush=True)
+        print("gamma: " + str(h.gamma))
+        print("transAlpha: " + str(h.trans_alpha))
+        print("startAlpha: " + str(h.start_alpha))
+        print("kappa: " + str(h.kappa))
+        print("---------------------------------", flush=True)
+        self.T_count += N
+        self._y_all = y
+        self._x_grid = x[0] if x.ndim > 1 else self.x_basis
+        self.compute_snr_ini(y)
+        if self.cfg.reestimate_initial_params:
+            self._redefine_default(y)
+
+        M = self.M
+        resp = np.zeros((N, M)); resp[:, 0] = 1.0
+        respPair = np.zeros((N, M, M)); respPair[:, 0, 0] = 1.0
+        q = np.zeros((N, M, L))
+        q_lat = np.zeros((N, M, L))
+        snr = np.zeros((N, M, L))
+        y_w = np.broadcast_to(y[..., None], (N, T, L, M))
+        iteration = 0
+        reallocate = False
+        while True:
+            resp, respPair, end = self._refill(resp, respPair)
+            M = self.M
+            if resp.shape[1] == 1:
+                self._hdp_global_update(resp, respPair, M, n_iters=2)
+            if end:
+                break
+            (resp, respPair, q, q_lat, snr, y_w,
+             reallocate) = self._vlt_batch(M, x, y, y_w, resp, respPair,
+                                           q, q_lat, snr, reallocate)
+            if resp.shape[1] > M:
+                self.M = M + 1
+                M = self.M
+            self._hdp_global_update(resp, respPair, M, n_iters=2)
+            if self.T_count > 1:
+                elbo_ = float(hmm_ops.entropy_terms(jnp.asarray(resp),
+                                                    jnp.asarray(respPair)))
+                print(f"\n-------End Lower Bound Iteration {iteration}-------")
+                q_obs, elbo_lin = self.compute_q_elbo(
+                    resp, respPair, self.weight_mean(q),
+                    self.weight_mean(q_lat), self.clusters, self.M,
+                    snr="saved", post=False, verb=True)
+                elbo_ = elbo_ + elbo_lin + q_obs
+                print("ELBO + Nonlinear: " + str(elbo_))
+                iteration += 1
+                print(f"\n-------Start lower Bound Iteration {iteration}-------")
+                self.train_elbo.append(elbo_)
+                self.resp_assigned.append(np.argmax(resp, axis=1))
+                self.q_last, self.q_lat_last = q, q_lat
+                self.resp_last, self.respPair_last = resp, respPair
+                self.elbo_last = elbo_
+                if it_limit is not None and iteration >= it_limit:
+                    break
+                if self.M == self.cfg.max_models:
+                    break
+                resp_group = resp.sum(axis=0)
+                repeated = (len(self.resp_assigned) > 1
+                            and self.resp_assigned[-2].shape[0]
+                            == self.resp_assigned[-1].shape[0]
+                            and np.all(self.resp_assigned[-2]
+                                       == self.resp_assigned[-1]))
+                if np.flatnonzero(resp_group == 0.0).shape[0] > 1 or repeated:
+                    break
+            else:
+                break
+        return self
+
+    def _redefine_default(self, y: np.ndarray) -> None:
+        """Re-estimate Sigma/Gamma priors from the batch and rebuild
+        default clusters (GPI_HDP.redefine_default, GPI_HDP.py:1866-1904)."""
+        print("Redefining default LDS priors.")
+        s, g, bs, bg = redefine_default_priors(
+            y, self.cfg.gp.estimation_limit)
+        self._def_sigma, self._def_gamma = s, g
+        self._def_bound_sigma, self._def_bound_gamma = bs, bg
+        print("-----------Reestimated ------------", flush=True)
+        print("Sigma: ", s)
+        print("Gamma: ", g)
+        print("-----------------------------", flush=True)
+        for ld in range(self.n_outputs):
+            for m in range(len(self.clusters[ld])):
+                self.clusters[ld][m] = self._new_cluster()
+
+    def _vlt_batch(self, M, x, y, y_w, resp, respPair, q, q_lat, snr,
+                   reallocate):
+        """variational_local_terms_batch (GPI_HDP.py:1170-1241)."""
+        startPi, transPi = self._pis(M)
+        i = 0
+        per_group = resp.sum(axis=0)
+        first_cond = (per_group.shape[0] == 1 or per_group[-2] >= 1.0
+                      or not self.clusters[0][0].fitted)
+        if first_cond:
+            (resp, respPair, q, q_lat, snr, y_w,
+             reallocate) = self._estimate_q_first(
+                M, x, y, y_w, resp, respPair, q, q_lat, snr,
+                startPi, transPi, reallocate)
+            post = resp.shape[1] > self.M
+            q_bas, elbo_bas = self.compute_q_elbo(
+                resp, respPair, self.weight_mean(q), self.weight_mean(q_lat),
+                self.clusters, self.M, snr="saved", post=post)
+            i += 1
+            print("First resp: " + str(resp.sum(axis=0).astype(np.int64)))
+        else:
+            q_bas, elbo_bas = self.compute_q_elbo(
+                resp, respPair, self.weight_mean(q), self.weight_mean(q_lat),
+                self.clusters, self.M, snr="saved", post=False)
+            print("Not first estimated q.")
+        q_def, elbo_def = q_bas, elbo_bas
+        if not reallocate:
+            while True:
+                M = resp.shape[1]
+                (resp, respPair, q, q_lat, snr, y_w,
+                 accepted_clusters) = self._estimate_q_all(
+                    M, x, y, y_w, resp, respPair, q, q_lat, snr,
+                    startPi, transPi, q_def, elbo_def)
+                self.clusters = accepted_clusters
+                post = resp.shape[1] > self.M
+                q_post, elbo_post = self.compute_q_elbo(
+                    resp, respPair, self.weight_mean(q),
+                    self.weight_mean(q_lat), self.clusters, self.M,
+                    snr="saved", post=post)
+                print("ELBO_reduction: "
+                      + str((q_post + elbo_post) - (q_bas + elbo_bas)))
+                if (np.isclose(q_bas + elbo_bas, q_post + elbo_post,
+                               rtol=1e-5) and i > 0) or i == 10:
+                    break
+                q_bas, elbo_bas = q_post, elbo_post
+                i += 1
+        return resp, respPair, q, q_lat, snr, y_w, reallocate
+
+    # ------------------------------------------------------------------
+    # estimate_q_all (GPI_HDP.py:2844-2973)
+    # ------------------------------------------------------------------
+
+    def _estimate_q_all(self, M, x, y, y_w_, resp, respPair, q_, q_lat_,
+                        snr_, startPi, transPi, q_def, elbo_def,
+                        clusters=None, f_ind_old=None, post=True):
+        if clusters is None:
+            clusters = self.clusters
+        if f_ind_old is None:
+            f_ind_old = self.f_ind_old
+        N, _, L = y.shape
+        q = np.zeros((N, M, L)) + np.min(q_) * 2.0
+        q_lat = np.zeros((N, M, L))
+        snr_aux = snr_.copy()
+
+        q_norm = self.weight_mean(q_, snr_)
+        q_norm = q_norm - q_norm.max(axis=1, keepdims=True)
+        resp_temp, _, respPair_temp, _ = self._fb(q_norm, startPi, transPi)
+        per_group = resp_temp.sum(axis=0)
+        reorder = np.argsort(-per_group, kind="stable")
+        resp_temp = resp_temp[:, reorder].copy()
+
+        y_w, x_w, liks = self._warp_by_resp(x, y, resp_temp, f_ind_old)
+
+        clusters_temp: List[List[Cluster]] = [[] for _ in range(L)]
+        for ld in range(L):
+            for m in range(M):
+                idx_new = np.flatnonzero(resp_temp[:, m] == 1.0)
+                if reorder[m] < len(clusters[ld]):
+                    cl = clusters[ld][reorder[m]]
+                    if not np.array_equal(idx_new, cl.members):
+                        q_col, ql_col, s_col, cl2 = self._full_refit(
+                            cl, ld, y_w[:, :, ld, reorder[m]],
+                            resp_temp[:, m])
+                        q[:, m, ld] = q_col + liks[:, reorder[m], ld]
+                        q_lat[:, m, ld] = ql_col
+                        snr_aux[:, m, ld] = s_col
+                        clusters_temp[ld].append(cl2)
+                    else:
+                        q[:, m, ld] = q_[:, reorder[m], ld]
+                        q_lat[:, m, ld] = q_lat_[:, reorder[m], ld]
+                        snr_aux[:, m, ld] = snr_[:, m, ld]
+                        clusters_temp[ld].append(cl)
+                else:
+                    cl = self._new_cluster()
+                    if idx_new.size > 0:
+                        q_col, ql_col, s_col, cl = self._full_refit(
+                            cl, ld, y_w[:, :, ld, reorder[m]],
+                            resp_temp[:, m])
+                        q[:, m, ld] = q_col + liks[:, reorder[m], ld]
+                        q_lat[:, m, ld] = ql_col
+                        snr_aux[:, m, ld] = s_col
+                    else:
+                        q[:, m, ld] = q_[:, m, ld]
+                        q_lat[:, m, ld] = q_lat_[:, m, ld]
+                        snr_aux[:, m, ld] = 0.0
+                    clusters_temp[ld].append(cl)
+
+        print(">>> Q_all_loop -------")
+        q_bas, elbo_bas = self.compute_q_elbo(
+            resp, respPair, self.weight_mean(q_, snr_),
+            self.weight_mean(q_lat_, snr_), clusters, self.M, snr=snr_,
+            post=post)
+        q_post, elbo_post = self.compute_q_elbo(
+            resp_temp, respPair_temp, self.weight_mean(q, snr_aux),
+            self.weight_mean(q_lat, snr_aux), clusters_temp, M, snr=snr_aux,
+            post=post)
+        if np.all(resp_temp.sum(axis=0) >= 1.0):
+            if q_bas + elbo_bas < q_post + elbo_post:
+                y_w = y_w[:, :, :, reorder]
+                if reorder.shape[0] == self.f_ind_old.shape[0]:
+                    self.f_ind_old = self.f_ind_old[reorder]
+                self.snr_norm = self.normalize_snr(snr_aux)
+                return (resp_temp, respPair_temp, q, q_lat, snr_aux, y_w,
+                        clusters_temp)
+            return resp, respPair, q_, q_lat_, snr_, y_w_, clusters
+        print(f">>> Possible emergency reallocation. Prev ----:\n "
+              f"Q_em: {q_def}, Elbo: {elbo_def}")
+        if (q_def + elbo_def < q_post + elbo_post
+                and q_bas + elbo_bas < q_post + elbo_post):
+            print("Emergency reallocation and removing last group.")
+            for ld in range(L):
+                clusters_temp[ld] = clusters_temp[ld][:-1]
+            self.snr_norm = self.normalize_snr(snr_aux)
+            resp_temp, respPair_temp, q, q_lat, snr_aux = \
+                self._drop_last_col(resp_temp, respPair_temp, q, q_lat,
+                                    snr_aux)
+            pg = resp_temp.sum(axis=0)
+            ro = np.argsort(-pg, kind="stable")
+            if ro.shape[0] == self.f_ind_old.shape[0]:
+                self.f_ind_old = self.f_ind_old[ro]
+            return (resp_temp, respPair_temp, q, q_lat, snr_aux, y_w,
+                    clusters_temp)
+        print("Bad estimation")
+        return resp, respPair, q_, q_lat_, snr_, y_w, clusters
+
+    # ------------------------------------------------------------------
+    # estimate_q_first: reallocation + birth search (GPI_HDP.py:1243-1794)
+    # ------------------------------------------------------------------
+
+    def _seed_score(self, cl: Cluster, ld: int, Y: np.ndarray,
+                    seed: int):
+        """q_simple column: reinit, include ONE representative beat with
+        no Bayesian update, score all beats (GPI_HDP.py:1284-1297)."""
+        st = gplds.reinit_cluster_state(cl.state,
+                                        float(self.cfg.gp.free_deg_mniw))
+        cl2 = Cluster(st, cl.fitted, cl.members)
+        resp_seed = np.zeros(Y.shape[0]); resp_seed[seed] = 1.0
+        prog = self._refit_prog(update_params=False)
+        res = prog(jnp.asarray(Y), jnp.asarray(resp_seed), cl2.state)
+        return np.asarray(res.q), np.asarray(res.snr)
+
+    @staticmethod
+    def _normalized_rank(v: np.ndarray) -> np.ndarray:
+        return (v - v.max()) / (v.max() - v.min() + 1e-300)
+
+    def _estimate_q_first(self, M, x, y, y_w_, resp, respPair, q_, q_lat_,
+                          snr_, startPi, transPi, reallocate_):
+        N, T, L = y.shape
+        empty_estimation = False
+        y_w, x_w, liks = self._warp_by_resp(x, y, resp, self.f_ind_old)
+
+        # ---- cold init: build cluster 0 from the full batch ----
+        if np.mean(q_) == 0.0:
+            snr_ = np.zeros((N, M, L))
+            for ld in range(L):
+                cl = self._new_cluster()
+                q_col, ql_col, s_col, cl = self._full_refit(
+                    cl, ld, y_w[:, :, ld, 0], resp[:, 0])
+                q_[:, 0, ld] = q_col + liks[:, 0, ld]
+                q_lat_[:, 0, ld] = ql_col
+                snr_[:, 0, ld] = s_col
+                self.clusters[ld][0] = cl
+        reallocate = False
+
+        # member sets (fall back to resp columns for empty clusters)
+        indexes_ = []
+        for m in range(M):
+            idx = self.clusters[0][m].members
+            if idx.size == 0:
+                idx = np.flatnonzero(resp[:, m] == 1.0)
+            indexes_.append(idx)
+        f_ind_old = self.f_ind_old.copy()
+
+        # ---- q_simple: score each cluster seeded with its representative
+        q_simple = q_.copy()
+        for ld in range(L):
+            for m in range(M):
+                if indexes_[m].size > 0:
+                    qs, _snr = self._seed_score(
+                        self.clusters[ld][m], ld, y_w[:, :, ld, m],
+                        int(f_ind_old[m]))
+                    q_simple[:, m, ld] = qs + liks[:, m, ld]
+
+        snr_aux = snr_.copy()
+        if M > 1:
+            # ---- reallocation trial ----
+            q_aux = q_simple.copy()
+            if resp.sum(axis=0)[-1] == 0:
+                q_aux[:, -1, :] = np.min(q_aux) * 2.0
+                snr_aux[:, -1, :] = np.min(snr_aux) * 2.0
+            q_norm = self.weight_mean(q_aux, snr_aux)
+            q_norm = q_norm - q_norm.max(axis=1, keepdims=True)
+            resp_temp, _, respPair_temp, _ = self._fb(q_norm, startPi,
+                                                      transPi)
+            reorder = np.argsort(-resp_temp.sum(axis=0), kind="stable")
+            resp_temp = resp_temp[:, reorder].copy()
+
+            q = q_.copy()
+            q_lat = q_lat_.copy()
+            clusters_temp: List[List[Cluster]] = [[] for _ in range(L)]
+            for ld in range(L):
+                for m in range(M):
+                    if not np.array_equal(resp[:, reorder[m]],
+                                          resp_temp[:, m]):
+                        cl = self.clusters[ld][reorder[m]]
+                        q_col, ql_col, s_col, cl2 = self._full_refit(
+                            cl, ld, y_w[:, :, ld, reorder[m]],
+                            resp_temp[:, m])
+                        q[:, m, ld] = q_col + liks[:, reorder[m], ld]
+                        q_lat[:, m, ld] = ql_col
+                        snr_aux[:, m, ld] = s_col
+                        clusters_temp[ld].append(cl2)
+                    else:
+                        cl = self.clusters[ld][reorder[m]]
+                        q[:, m, ld] = q_[:, reorder[m], ld]
+                        snr_aux[:, m, ld] = snr_[:, reorder[m], ld]
+                        clusters_temp[ld].append(cl)
+
+            q_bas_, elbo_bas_ = self.compute_q_elbo(
+                resp_temp, respPair_temp, self.weight_mean(q, snr_aux),
+                self.weight_mean(q_lat, snr_aux), clusters_temp, M,
+                snr=snr_aux, post=False)
+            q_def__, elbo_def__ = self.compute_q_elbo(
+                resp, respPair, self.weight_mean(q_, snr_),
+                self.weight_mean(q_lat_, snr_), self.clusters, M,
+                snr=snr_, post=False)
+            i__ = 0
+            while True:
+                (resp_temp, respPair_temp, q, q_lat, snr_aux, y_w,
+                 clusters_temp) = self._estimate_q_all(
+                    M, x, y, y_w, resp_temp, respPair_temp, q, q_lat,
+                    snr_aux, startPi, transPi, q_def__, elbo_def__,
+                    clusters=clusters_temp, post=False)
+                q_post, elbo_post = self.compute_q_elbo(
+                    resp_temp, respPair_temp, self.weight_mean(q, snr_aux),
+                    self.weight_mean(q_lat, snr_aux), clusters_temp, M,
+                    snr=snr_aux, post=False)
+                print("ELBO_reduction: "
+                      + str((q_post + elbo_post) - (q_bas_ + elbo_bas_)))
+                if (np.isclose(q_bas_ + elbo_bas_, q_post + elbo_post,
+                               rtol=1e-5) and i__ > 0) or i__ == 20:
+                    break
+                q_bas_, elbo_bas_ = q_post, elbo_post
+                i__ += 1
+
+            print(">>> Prev -------")
+            q_bas, elbo_bas = self.compute_q_elbo(
+                resp, respPair, self.weight_mean(q_, snr_),
+                self.weight_mean(q_lat_, snr_), self.clusters, M,
+                snr=snr_, post=False)
+            print(">>> Post -------")
+            q_bas_post, elbo_post = self.compute_q_elbo(
+                resp_temp, respPair_temp, self.weight_mean(q, snr_aux),
+                self.weight_mean(q_lat, snr_aux), clusters_temp, M,
+                snr=snr_aux, post=False)
+            if np.flatnonzero(resp_temp.sum(axis=0) < 1.0).shape[0] == 0:
+                if (q_bas < q_bas_post
+                        and not q_bas + elbo_bas < q_bas_post + elbo_post):
+                    print("Possibly better q_obs but worse elbo.")
+                if (q_bas + elbo_bas < q_bas_post + elbo_post
+                        and q_bas != q_bas_post):
+                    print("Reallocating beats into existing groups.")
+                    reallocate = True
+                    self.clusters = clusters_temp
+                    y_w = y_w[:, :, :, reorder] if y_w.shape[3] == M else y_w
+                    self.f_ind_old = self._elect_representatives(
+                        resp_temp, self.weight_mean(q_simple, snr_aux),
+                        f_ind_old)
+                    self.snr_norm = self.normalize_snr(snr_aux)
+                    return (resp_temp, respPair_temp, q, q_lat, snr_aux,
+                            y_w, reallocate)
+                print("Not reallocating, trying to generate new group.")
+            else:
+                print(">>> Possible emergency reallocation. Prev ----")
+                q_bas, elbo_bas = self.compute_q_elbo(
+                    resp, respPair, self.weight_mean(q_, snr_),
+                    self.weight_mean(q_lat_, snr_), self.clusters, self.M,
+                    snr=snr_, post=False)
+                if q_bas + elbo_bas < q_bas_ + elbo_bas_:
+                    print("Emergency reallocation and removing last group.")
+                    reallocate = True
+                    for ld in range(L):
+                        clusters_temp[ld] = clusters_temp[ld][:-1]
+                    self.clusters = clusters_temp
+                    self.snr_norm = self.normalize_snr(snr_aux)
+                    resp_temp, respPair_temp, q, q_lat, snr_aux = \
+                        self._drop_last_col(resp_temp, respPair_temp, q,
+                                            q_lat, snr_aux)
+                    ro = np.argsort(-resp_temp.sum(axis=0), kind="stable")
+                    self.f_ind_old = self.f_ind_old[
+                        ro[:self.f_ind_old.shape[0]]] \
+                        if ro.shape[0] >= self.f_ind_old.shape[0] \
+                        else self.f_ind_old
+                    return (resp_temp, respPair_temp, q, q_lat, snr_aux,
+                            y_w, reallocate)
+                print("Bad estimation")
+                empty_estimation = True
+
+        # ---- birth candidate ranking (GPI_HDP.py:1461-1529) ----
+        assigned = np.flatnonzero(resp.sum(axis=1) >= 1.0)
+        q_sim_s = self._normalized_rank(
+            self.weight_mean(q_simple)[resp == 1.0])
+        q_s = self._normalized_rank(self.weight_mean(q_)[resp == 1.0])
+        q_lat_s = self._normalized_rank(self.weight_mean(q_lat_)[resp == 1.0])
+        order_by_sim = np.argsort(q_sim_s, kind="stable")
+        order_by_q = np.argsort(q_s + q_lat_s, kind="stable")
+        # closeness groups at rtol=0.01 on the q_simple rank
+        n_steps = self.cfg.n_explore_steps
+        potential_ind = {int(i): np.flatnonzero(
+            np.isclose(q_sim_s, q_sim_s[i], rtol=0.01))
+            for i in range(q_sim_s.shape[0])}
+
+        def pick_candidates(order, start_j, stop_j, picked, last_holder):
+            j_ = start_j
+            for f_ind_new in order:
+                if j_ == stop_j:
+                    break
+                f_ind_new = int(f_ind_new)
+                m_chosen = -1
+                for m in range(M - 1):
+                    if f_ind_new in indexes_[m]:
+                        m_chosen = m
+                        break
+                if m_chosen == -1:
+                    m_chosen = int(np.argmax(resp[f_ind_new]))
+                if f_ind_new == int(f_ind_old[min(m_chosen,
+                                                  f_ind_old.shape[0] - 1)]):
+                    continue
+                group = potential_ind[f_ind_new]
+                if any(l_ not in group for l_ in last_holder[0]):
+                    last_holder[0] = group
+                    picked[j_] = f_ind_new
+                    j_ += 1
+            return j_
+
+        candidates = np.zeros(n_steps, np.int64)
+        last_holder = [np.array([-1])]
+        half = int(max(n_steps // 2, 1))
+        pick_candidates(order_by_sim, 0, half, candidates, last_holder)
+        last_holder = [np.array([-1])]
+        pick_candidates(order_by_q, half, n_steps, candidates, last_holder)
+
+        # ---- birth trials (GPI_HDP.py:1530-1793) ----
+        q = q_simple.copy()
+        q_lat = q_lat_.copy()
+        snr_aux = snr_.copy()
+        resp_g, respPair_g, q_def, q_lat_def, snr_def = self._grow_cols(
+            resp, respPair, q.copy(), q_lat.copy(), snr_aux.copy())
+        _, _, q__def, q_lat__def, snr__def = self._grow_cols(
+            resp, respPair, q_.copy(), q_lat_.copy(), snr_.copy())
+        Mb = M + 1
+        f_ind_grow = np.zeros(Mb, np.int64)
+        f_ind_grow[:f_ind_old.shape[0]] = f_ind_old
+
+        step = 0
+        last_indexes = np.array([-1])
+        for f_ind_new in candidates:
+            if step == n_steps:
+                break
+            f_ind_new = int(f_ind_new)
+            m_chosen = -1
+            for m in range(Mb - 1):
+                if m < len(indexes_) and f_ind_new in indexes_[m]:
+                    m_chosen = m
+                    break
+            if m_chosen == -1:
+                m_chosen = int(np.argmax(resp[f_ind_new]))
+            if f_ind_new == int(f_ind_grow[min(m_chosen, Mb - 1)]):
+                continue
+            group = potential_ind.get(f_ind_new, np.array([f_ind_new]))
+            if not any(l_ not in group for l_ in last_indexes):
+                continue
+            last_indexes = group
+
+            if not empty_estimation:
+                f_ind_temp = f_ind_grow.copy()
+                f_ind_temp[-1] = f_ind_new
+                y_w, x_w, liks = self._warp_by_resp(x, y, resp_g, f_ind_temp)
+                q_simple_ = q_def.copy()
+                q = q_def.copy(); q_lat = q_lat_def.copy()
+                snr_aux = snr_def.copy()
+                q__ = q__def.copy(); q_lat__ = q_lat__def.copy()
+                print(f"Step {step + 1}/{n_steps}- Trying to divide: "
+                      f"{m_chosen} with beat {f_ind_new}")
+                step += 1
+                for ld in range(L):
+                    qs, s_col = self._seed_score(
+                        self.clusters[ld][m_chosen], ld,
+                        y_w[:, :, ld, -1], f_ind_new)
+                    q_simple_[:, -1, ld] = qs + liks[:, -1, ld]
+                    snr_aux[:, -1, ld] = s_col
+                q_mean = self.weight_mean(q_simple_, snr_aux)
+                q_norm = q_mean - q_mean.max(axis=1, keepdims=True)
+                resp_temp, _, respPair_temp, _ = self._fb(q_norm, startPi,
+                                                          transPi)
+            else:
+                q = q__def.copy(); q_lat = q_lat__def.copy()
+                snr_aux = snr__def.copy()
+                q__ = q__def.copy(); q_lat__ = q_lat__def.copy()
+                q[:, -1, :] = np.min(q) * 2.0
+                q__[:, -1, :] = np.min(q__) * 2.0
+                snr_aux[:, -1, :] = np.min(snr_aux) * 2.0
+                q__[f_ind_new, -1, :] = 0.0
+                q_simple_ = q__.copy()
+                f_ind_temp = f_ind_grow.copy(); f_ind_temp[-1] = f_ind_new
+                step += 1
+                q_mean = self.weight_mean(q__, snr_aux)
+                q_norm = q_mean - q_mean.max(axis=1, keepdims=True)
+                resp_temp, _, respPair_temp, _ = self._fb(q_norm, startPi,
+                                                          transPi)
+
+            reorder = np.argsort(-resp_temp.sum(axis=0), kind="stable")
+            resp_temp = resp_temp[:, reorder].copy()
+
+            clusters_temp: List[List[Cluster]] = [[] for _ in range(L)]
+            for ld in range(L):
+                for m in range(Mb):
+                    if reorder[m] == Mb - 1:
+                        # the newborn cluster
+                        if self.cfg.share_gp:
+                            cl = self.clusters[ld][m_chosen].clone()
+                        else:
+                            cl = self._new_cluster()
+                        q_col, ql_col, s_col, cl = self._full_refit(
+                            cl, ld, y_w[:, :, ld, reorder[m]],
+                            resp_temp[:, m])
+                        q[:, m, ld] = q_col + liks[:, reorder[m], ld]
+                        q_lat[:, m, ld] = ql_col
+                        snr_aux[:, m, ld] = s_col
+                    elif not np.array_equal(resp[:, reorder[m]],
+                                            resp_temp[:, m]):
+                        cl = self.clusters[ld][reorder[m]]
+                        q_col, ql_col, s_col, cl = self._full_refit(
+                            cl, ld, y_w[:, :, ld, reorder[m]],
+                            resp_temp[:, m])
+                        q[:, m, ld] = q_col + liks[:, reorder[m], ld]
+                        q_lat[:, m, ld] = ql_col
+                        snr_aux[:, m, ld] = s_col
+                    else:
+                        cl = self.clusters[ld][reorder[m]]
+                        q[:, m, ld] = q__[:, reorder[m], ld]
+                        q_lat[:, m, ld] = q_lat__[:, reorder[m], ld]
+                        snr_aux[:, m, ld] = snr__def[:, reorder[m], ld]
+                    clusters_temp[ld].append(cl)
+
+            q_bas_, elbo_bas_ = self.compute_q_elbo(
+                resp_temp, respPair_temp, self.weight_mean(q, snr_aux),
+                self.weight_mean(q_lat, snr_aux), clusters_temp, Mb,
+                snr=snr_aux, post=True)
+            sums = resp_temp.sum(axis=0)
+            if int(np.argmax(sums)) == resp_temp.shape[1] - 1:
+                print("Bad estimation")
+                continue
+            if np.flatnonzero(sums < 1.0).shape[0] > 0:
+                print(">>> Possible emergency reallocation. Prev ----")
+                q_bas, elbo_bas = self.compute_q_elbo(
+                    resp, respPair, self.weight_mean(q_, snr_),
+                    self.weight_mean(q_lat_, snr_), self.clusters, self.M,
+                    snr=snr_, post=False)
+                if q_bas + elbo_bas < q_bas_ + elbo_bas_:
+                    print("Emergency reallocation and removing last group.")
+                    reallocate = True
+                    for ld in range(L):
+                        clusters_temp[ld] = clusters_temp[ld][:-1]
+                    resp_temp, respPair_temp, q, q_lat, snr_aux = \
+                        self._drop_last_col(resp_temp, respPair_temp, q,
+                                            q_lat, snr_aux)
+                    self.clusters = clusters_temp
+                    self.f_ind_old = f_ind_grow[reorder][:resp_temp.shape[1]]
+                    y_w = y_w[:, :, :, reorder][:, :, :, :resp_temp.shape[1]]
+                    self.snr_norm = self.normalize_snr(snr_aux)
+                    return (resp_temp, respPair_temp, q, q_lat, snr_aux,
+                            y_w, reallocate)
+                print("Bad estimation")
+                continue
+
+            q_def__, elbo_def__ = self.compute_q_elbo(
+                resp, respPair, self.weight_mean(q_, snr_),
+                self.weight_mean(q_lat_, snr_), self.clusters, self.M,
+                snr=snr_, post=False)
+            i__ = 0
+            while True:
+                (resp_temp, respPair_temp, q, q_lat, snr_aux, y_w,
+                 clusters_temp) = self._estimate_q_all(
+                    Mb, x, y, y_w, resp_temp, respPair_temp, q, q_lat,
+                    snr_aux, startPi, transPi, q_def__, elbo_def__,
+                    clusters=clusters_temp, f_ind_old=f_ind_temp)
+                q_post, elbo_post = self.compute_q_elbo(
+                    resp_temp, respPair_temp, self.weight_mean(q, snr_aux),
+                    self.weight_mean(q_lat, snr_aux), clusters_temp, Mb,
+                    snr=snr_aux, post=True)
+                print("ELBO_reduction: "
+                      + str((q_post + elbo_post) - (q_bas_ + elbo_bas_)))
+                if (np.isclose(q_bas_ + elbo_bas_, q_post + elbo_post,
+                               rtol=1e-5) and i__ > 0) or i__ == 10:
+                    break
+                q_bas_, elbo_bas_ = q_post, elbo_post
+                i__ += 1
+
+            print(f"- Trying to divide: {m_chosen} with beat {f_ind_new}")
+            print(">>> Prev -------")
+            q_bas, elbo_bas = self.compute_q_elbo(
+                resp, respPair, self.weight_mean(q_, snr_),
+                self.weight_mean(q_lat_, snr_), self.clusters, self.M,
+                snr=snr_, post=False)
+            print(">>> Post -------")
+            q_bas_post, elbo_post = self.compute_q_elbo(
+                resp_temp, respPair_temp, self.weight_mean(q, snr_aux),
+                self.weight_mean(q_lat, snr_aux), clusters_temp, Mb,
+                snr=snr_aux, post=True)
+            sums = resp_temp.sum(axis=0)
+            if (np.all(sums >= 1.0)
+                    and int(np.argmax(sums)) != resp_temp.shape[1] - 1):
+                if (q_bas < q_bas_post
+                        and not q_bas + elbo_bas < q_bas_post + elbo_post):
+                    print("Possibly better q_obs but worse elbo.")
+                if q_bas + elbo_bas < q_bas_post + elbo_post:
+                    print(f"Chosen to divide: {m_chosen} with beat "
+                          f"{f_ind_new}")
+                    self.clusters = clusters_temp
+                    if y_w.shape[3] == Mb:
+                        y_w = y_w[:, :, :, reorder]
+                    self.f_ind_old = self._elect_representatives(
+                        resp_temp, self.weight_mean(q_simple_, snr_aux),
+                        f_ind_grow)
+                    self.snr_norm = self.normalize_snr(snr_aux)
+                    return (resp_temp, respPair_temp, q, q_lat, snr_aux,
+                            y_w, reallocate)
+            else:
+                print("Bad estimation")
+
+        reallocate = True
+        return resp, respPair, q_, q_lat_, snr_, y_w_, reallocate
+
+    def _elect_representatives(self, resp_temp, q_rank, f_ind_old
+                               ) -> np.ndarray:
+        """Re-elect one representative beat per cluster, best q first,
+        without reuse (GPI_HDP.py:1404-1429, :1760-1785)."""
+        Mk = resp_temp.shape[1]
+        out = np.full(Mk, -1, np.int64)
+        used = set()
+        for k in range(Mk):
+            idx_k = np.flatnonzero(resp_temp[:, k] == 1.0)
+            if idx_k.size == 0:
+                out[k] = f_ind_old[min(k, f_ind_old.shape[0] - 1)]
+                continue
+            order = np.argsort(-q_rank[idx_k, k], kind="stable")
+            cand = None
+            for i in idx_k[order]:
+                if int(i) not in used:
+                    cand = int(i)
+                    break
+            if cand is None:
+                cand = int(idx_k[order[0]])
+            out[k] = cand
+            used.add(cand)
+        return out

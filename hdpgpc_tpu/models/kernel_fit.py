@@ -1,0 +1,112 @@
+"""First-sample GP kernel hyperparameter fit.
+
+Functional equivalent of the reference's GPyTorch path
+(GPI.fit_torch, GPI.py:610-770, ExactGPModel of
+GPI_models_pytorch.py:10-22): maximise the exact GP marginal likelihood
+of ONE beat y(x) under
+
+    k(x, x') = s * exp(-0.5 (x-x')^2 / l^2) + n * 1[x == x']
+    mean(x)  = c                                  (ConstantMean)
+
+with Adam (lr=0.1), up to 4000 iterations, early-stopped after 1000
+iterations once the last-10 loss deltas sum to ~0 (GPI.py:695-698).
+Parameterisation mirrors gpytorch defaults: softplus for outputscale /
+lengthscale (raw init 0), an Interval sigmoid transform for the noise
+(raw init 0 -> midpoint of bounds), and the loss is the negative mean
+log-marginal-likelihood (ExactMarginalLogLikelihood divides by T; Adam
+is scale-invariant so this matches learning dynamics).
+
+On write-back the lengthscale is PINNED to 1.2, exactly as the
+reference does on the exact path (GPI.py:711).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from hdpgpc_tpu.ops.kernels import KernelParams
+
+
+def _softplus(x):
+    return jax.nn.softplus(x)
+
+
+def _nll(params, x, y):
+    raw_s, raw_l, raw_n, c, n_lb, n_ub = params["raw_s"], params["raw_l"], \
+        params["raw_n"], params["c"], params["n_lb"], params["n_ub"]
+    s = _softplus(raw_s)
+    l = _softplus(raw_l)
+    n = n_lb + (n_ub - n_lb) * jax.nn.sigmoid(raw_n)
+    T = x.shape[0]
+    d2 = (x[:, None] - x[None, :]) ** 2
+    K = s * jnp.exp(-0.5 * d2 / (l**2)) + n * jnp.eye(T, dtype=x.dtype)
+    L = jnp.linalg.cholesky(K)
+    r = (y - c)[:, None]
+    alpha = jax.scipy.linalg.cho_solve((L, True), r)
+    ll = (-0.5 * jnp.sum(r * alpha) - jnp.sum(jnp.log(jnp.diag(L)))
+          - 0.5 * T * jnp.log(2.0 * jnp.pi))
+    return -ll / T
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "lr"))
+def _fit(x, y, n_lb, n_ub, max_iters: int = 4000, lr: float = 0.1):
+    dtype = x.dtype
+    params = {
+        "raw_s": jnp.asarray(0.0, dtype),
+        "raw_l": jnp.asarray(0.0, dtype),
+        "raw_n": jnp.asarray(0.0, dtype),
+        "c": jnp.asarray(0.0, dtype),
+        "n_lb": n_lb, "n_ub": n_ub,
+    }
+    trainable = ("raw_s", "raw_l", "raw_n", "c")
+    opt = optax.adam(lr)
+    opt_state = opt.init({k: params[k] for k in trainable})
+    loss_buf = jnp.zeros((11,), dtype)
+
+    grad_fn = jax.value_and_grad(
+        lambda tp: _nll({**params, **tp}, x, y))
+
+    def cond(state):
+        i, tp, os, buf, done = state
+        return (~done) & (i < max_iters)
+
+    def body(state):
+        i, tp, os, buf, _ = state
+        loss, g = grad_fn(tp)
+        updates, os = opt.update(g, os)
+        tp = optax.apply_updates(tp, updates)
+        buf = jnp.roll(buf, -1).at[-1].set(loss)
+        # reference plateau test: after >1000 recorded losses,
+        # |sum(losses[-10:] - losses[-11:-1])| < 1e-4  (GPI.py:695-698)
+        plateau = (i > 1000) & (jnp.abs(jnp.sum(buf[1:] - buf[:-1])) < 1e-4)
+        return (i + 1, tp, os, buf, plateau)
+
+    init = (jnp.asarray(0, jnp.int32),
+            {k: params[k] for k in trainable}, opt_state, loss_buf,
+            jnp.asarray(False))
+    _, tp, _, _, _ = jax.lax.while_loop(cond, body, init)
+    s = _softplus(tp["raw_s"])
+    l = _softplus(tp["raw_l"])
+    n = n_lb + (n_ub - n_lb) * jax.nn.sigmoid(tp["raw_n"])
+    return s, l, n
+
+
+def fit_kernel(x_basis, y, bound_sigma: Tuple[float, float],
+               pin_lengthscale: float = 1.2, max_iters: int = 4000,
+               lr: float = 0.1) -> KernelParams:
+    """Fit (outputscale, lengthscale, noise) on one beat; lengthscale is
+    pinned on write-back (GPI.py:711). x_basis: (T,) or (T, 1); y: (T,).
+    """
+    x = jnp.asarray(x_basis).reshape(-1)
+    y = jnp.asarray(y).reshape(-1)
+    lb = jnp.asarray(bound_sigma[0], x.dtype)
+    ub = jnp.asarray(bound_sigma[1], x.dtype)
+    s, _l, n = _fit(x, y, lb, ub, max_iters=max_iters, lr=lr)
+    return KernelParams(outputscale=s,
+                        lengthscale=jnp.asarray(pin_lengthscale, x.dtype),
+                        noise=n)

@@ -1,0 +1,146 @@
+"""HMM message passing over the beat sequence.
+
+Mirrors the reference's forward/backward/coupled-pair computations on
+log evidence (GPI_HDP.py:3546-3699), including its exact numerical
+flooring constants:
+
+* forward: PiTMat[PiTMat < 1e-6] += 1e-4, pi[pi < 1e-10] += 1e-4
+  (GPI_HDP.py:3584-3585)
+* backward: PiMat[PiMat < 1e-5] += 1e-4 and row normalisation by the
+  sum over all-but-last entries (GPI_HDP.py:3643-3646)
+* responsibilities are HARD one-hot argmax assignments
+  (``_safe_exp``, GPI_HDP.py:338-350), not softmax.
+
+All functions are jittable with static K (recompiled per cluster
+count, which changes rarely).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def row_normalize_log(logw: jax.Array, axis: int = 1):
+    """Subtract the row max (reference LogLik, GPI_HDP.py:632-661)."""
+    c = jnp.max(logw, axis=axis, keepdims=True)
+    return logw - c, jnp.squeeze(c, axis=axis)
+
+
+def _safe_exp_rows(x: jax.Array) -> jax.Array:
+    """exp(x - rowmax) with NaN -> tiny (reference local safe_exp)."""
+    m = jnp.max(x, axis=1, keepdims=True)
+    e = jnp.exp(x - m)
+    return jnp.nan_to_num(e, nan=1e-8)
+
+
+def hard_resp(logresp: jax.Array) -> jax.Array:
+    """Hard one-hot row argmax (reference _safe_exp 2-D, GPI_HDP.py:338-343)."""
+    idx = jnp.argmax(logresp, axis=-1)
+    return jax.nn.one_hot(idx, logresp.shape[-1], dtype=logresp.dtype)
+
+
+def hard_resp_pair(logrespPair: jax.Array) -> jax.Array:
+    """Hard one-hot over flattened (K, K) per row (GPI_HDP.py:344-350)."""
+    N, K, _ = logrespPair.shape
+    flat = logrespPair.reshape(N, K * K)
+    idx = jnp.argmax(flat, axis=-1)
+    return jax.nn.one_hot(idx, K * K, dtype=logrespPair.dtype).reshape(N, K, K)
+
+
+def forward(start_log_pi, trans_log_pi, log_q):
+    """Normalised forward filtering.
+
+    start_log_pi: (K,) log start distribution; trans_log_pi: (K, K) log
+    transition matrix; log_q: (N, K) row-normalised log evidence.
+    Returns fmsg (N, K) and margPrObs (N,).
+    """
+    pi = jnp.exp(start_log_pi)
+    pi = jnp.where(pi < 1e-10, pi + 1e-4, pi)
+    PiT = _safe_exp_rows(trans_log_pi.T)
+    PiT = jnp.where(PiT < 1e-6, PiT + 1e-4, PiT)
+    q = _safe_exp_rows(log_q)
+
+    def step(carry, q_t):
+        f_prev, is_first = carry
+        f = jnp.where(is_first, pi * q_t, (PiT @ f_prev) * q_t)
+        marg = jnp.sum(f)
+        f = f / marg
+        return (f, jnp.zeros_like(is_first)), (f, marg)
+
+    init = (jnp.zeros(q.shape[1], dtype=q.dtype), jnp.asarray(True))
+    (_, _), (fmsg, marg) = jax.lax.scan(step, init, q)
+    return fmsg, marg
+
+
+def forward_incremental(fmsg_prev, trans_log_pi, log_q_last):
+    """Append one forward step to a cached fmsg (GPI_HDP.py:3586-3594)."""
+    PiT = _safe_exp_rows(trans_log_pi.T)
+    PiT = jnp.where(PiT < 1e-6, PiT + 1e-4, PiT)
+    q_last = jnp.nan_to_num(jnp.exp(log_q_last - jnp.max(log_q_last)), nan=1e-8)
+    f = (PiT @ fmsg_prev) * q_last
+    marg = jnp.sum(f)
+    return f / marg, marg
+
+
+def backward(trans_log_pi, log_q):
+    """Backward messages with the reference's quirky normalisation.
+
+    bmsg[t] = PiMat @ (bmsg[t+1] * q[t+1]), then divided by the sum of
+    its entries EXCLUDING the last column (GPI_HDP.py:3644-3646).
+    """
+    PiMat = _safe_exp_rows(trans_log_pi)
+    PiMat = jnp.where(PiMat < 1e-5, PiMat + 1e-4, PiMat)
+    q = _safe_exp_rows(log_q)
+
+    def step(b_next, q_next):
+        b = PiMat @ (b_next * q_next)
+        b = b / jnp.sum(b[:-1])
+        return b, b
+
+    K = q.shape[1]
+    b_last = jnp.ones(K, dtype=q.dtype)
+    _, bs = jax.lax.scan(step, b_last, q[1:], reverse=True)
+    return jnp.concatenate([bs, b_last[None]], axis=0)
+
+
+def coupled_pair_log(alpha, beta, trans_log_pi, log_q):
+    """log respPair (N, K, K) — reference coupled_state_coef
+    (GPI_HDP.py:3651-3699)."""
+    PiMat = _safe_exp_rows(trans_log_pi)
+    bmsgSoftEv = _safe_exp_rows(log_q) * beta
+    N, K = alpha.shape
+    respPair = jnp.zeros((N, K, K), dtype=alpha.dtype)
+    rp = alpha[:-1][:, :, None] * bmsgSoftEv[1:][:, None, :]
+    respPair = respPair.at[1:].set(rp)
+    respPair = respPair * PiMat[None, :, :]
+    den = jnp.sum(respPair, axis=(1, 2))[:, None, None]
+    den = jnp.where(den == 0, 1e-10, den)
+    return jnp.log(respPair / den)
+
+
+@jax.jit
+def fb_hard(start_log_pi, trans_log_pi, log_q):
+    """Full pipeline: normalise q -> FB -> hard resp and respPair.
+
+    Returns (resp, logresp, respPair, logrespPair), matching the
+    reference's variational_local_terms output contract.
+    """
+    q_norm, _ = row_normalize_log(log_q, axis=1)
+    alpha, marg = forward(start_log_pi, trans_log_pi, q_norm)
+    beta = backward(trans_log_pi, q_norm)
+    logresp, _ = row_normalize_log(jnp.log(alpha * beta), axis=1)
+    lrp = coupled_pair_log(alpha, beta, trans_log_pi, q_norm)
+    # Reference normalises respPair with LogLik(axis=1): per (row, col)
+    # matrix rows — max over axis=1 of the (N, K, K) tensor.
+    c = jnp.max(lrp, axis=1, keepdims=True)
+    logrespPair = lrp - c
+    return hard_resp(logresp), logresp, hard_resp_pair(logrespPair), logrespPair
+
+
+def entropy_terms(resp, respPair, eps=1e-30):
+    """H[q] nonlinear ELBO terms (GPI_HDP.py:2682-2700)."""
+    Hstart = -jnp.sum(resp * jnp.log(resp + eps), axis=0)
+    sigma = respPair / (jnp.sum(respPair, axis=2, keepdims=True) + eps) + eps
+    Htable = -jnp.sum(respPair * jnp.log(sigma), axis=0)
+    return jnp.sum(Htable) + jnp.sum(Hstart)

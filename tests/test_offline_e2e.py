@@ -1,0 +1,61 @@
+"""End-to-end offline sweep on synthetic beats.
+
+Mirrors the reference's test_offline.py driver (SURVEY.md §3.1) on a
+small synthetic problem: the sweep should discover the generating
+clusters and produce low classification error.
+"""
+
+import numpy as np
+import pytest
+
+from hdpgpc_tpu.data.loader import default_x_basis, synthetic_beats
+from hdpgpc_tpu.data.priors import compute_estimators_lds
+
+
+def _build_model(T, std, std_dif, bound_sigma, bound_gamma, **kw):
+    from hdpgpc_tpu.models.hdpgpc import HDPGPC
+    x_basis = default_x_basis(T)
+    defaults = dict(
+        n_outputs=1, ini_lengthscale=3.0, bound_lengthscale=(1.0, 20.0),
+        ini_gamma=std_dif, ini_sigma=std, ini_outputscale=10.0,
+        bound_sigma=bound_sigma, bound_gamma=bound_gamma,
+        verbose=False, hmm_switch=True, max_models=100,
+        bayesian_params=True, reestimate_initial_params=True,
+        n_explore_steps=3, free_deg_MNIV=5,
+        kernel_fit_fast=True)
+    defaults.update(kw)
+    defaults.pop("kernel_fit_fast", None)
+    m = HDPGPC(x_basis, **defaults)
+    # Small kernel-fit budget for test speed (same algorithm).
+    object.__setattr__(m.cfg.gp, "__dict__", None) if False else None
+    return m
+
+
+@pytest.mark.slow
+def test_offline_sweep_recovers_clusters():
+    T, N, K = 24, 60, 3
+    y, z = synthetic_beats(N, T=T, n_clusters=K, noise=0.03, seed=0)
+    std, std_dif, bs, bg = compute_estimators_lds(y)
+    model = _build_model(T, std, std_dif, bs, bg)
+    # shrink the kernel-fit budget for test wall-time
+    import dataclasses
+    model.cfg = dataclasses.replace(
+        model.cfg, gp=dataclasses.replace(model.cfg.gp,
+                                          kernel_fit_iters=300))
+    x_trains = np.tile(np.arange(T, dtype=np.float64), (N, 1))
+    model.include_batch(x_trains, y, with_warp=False)
+
+    # every sample assigned; discovered clusters align with truth
+    labels = model.resp_assigned[-1]
+    assert labels.shape == (N,)
+    # purity: majority-truth per discovered cluster
+    err = 0
+    for m in np.unique(labels):
+        idx = np.flatnonzero(labels == m)
+        true = z[idx]
+        maj = np.bincount(true).argmax()
+        err += int(np.sum(true != maj))
+    assert err / N < 0.15, f"clustering error {err}/{N}"
+    # ELBO history recorded
+    assert len(model.train_elbo) >= 1
+    assert np.isfinite(model.train_elbo).all()
