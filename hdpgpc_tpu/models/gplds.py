@@ -191,8 +191,9 @@ def build_refit(T: int, est_limit: Optional[int] = None,
     limit = jnp.inf if est_limit is None else float(est_limit)
 
     def forward_step(carry, inp):
-        (f, P, f_prevF, P_prevF, A, G, C, S, m_int, m_obs, n,
+        (f, P, f_prevF, P_prevF, A, G, C, S, mniw, n,
          noise0, G0diag, S0diag) = carry
+        # mniw: stacked internal/observation posteriors, leading dim 2.
         y, h = inp
         dtype = f.dtype
         eye = jnp.eye(T, dtype=dtype)
@@ -201,55 +202,90 @@ def build_refit(T: int, est_limit: Optional[int] = None,
         N_new = n + 1
         N_newf = N_new.astype(dtype)
 
-        # Kalman filter update; the last smoothed entry always equals
-        # the last filtered one, so the recursion carries filtered state.
-        f_up, P_up = kalman_step(f, P, y[:, None], LDSParams(A, G, C, S),
-                                 first, noise_first=noise0, h=1.0)
+        # --- Kalman update + tail-pair smoothing with a SHARED predicted
+        # covariance and one batched Cholesky for {S_innov, P_pred}
+        # (equivalent to GPI.py:134-150 + backward_notrange; the RTS pair
+        # uses the same P_pred = A P A' + Gamma).
+        m = A @ f
+        P_pred_dyn = A @ P @ A.T + G
+        P_pred_kal = jnp.where(first, P, P_pred_dyn)
+        y_pred = jnp.where(first, jnp.zeros_like(m), C @ m)
+        R = jnp.where(first, noise0 * eye, S)
+        S_innov = C @ P_pred_kal @ C.T + R
+        facs = jnp.linalg.cholesky(jnp.stack([
+            0.5 * (S_innov + S_innov.T), 0.5 * (P_pred_dyn + P_pred_dyn.T)]))
+        L_S, L_Pp = facs[0], facs[1]
+        # K = P_pred C' S^{-1}
+        K = jax.scipy.linalg.cho_solve((L_S, True), (P_pred_kal @ C.T).T).T
+        f_up = m + K @ (y[:, None] - y_pred)
+        IKC = eye - K @ C
+        P_up = IKC @ P_pred_kal @ IKC.T + K @ R @ K.T
 
-        # Tail-pair smoothing of the previous member (GPI_model.py:705).
-        # With pair_smooth=False (online commit) the previous member's
-        # smoothed list entry stays at its filtered value.
         if pair_smooth:
-            f_smp_up, P_smp_up = rts_pair(f, P, f_up, P_up, A, G)
+            # J = P A' P_pred^{-1}
+            J = jax.scipy.linalg.cho_solve((L_Pp, True), (P @ A.T).T).T
+            f_smp_up = f + J @ (f_up - A @ f)
+            P_smp_up = P + J @ (P_up - P_pred_dyn) @ J.T
             has_pair = n >= 1
             f_smp = jnp.where(has_pair, f_smp_up, f)
             P_smp = jnp.where(has_pair, P_smp_up, P)
         else:
             f_smp, P_smp = f, P
-        # Regressor for the internal MNIW update.
         f_reg = f_smp if pair_smooth else f
 
         if update_params and dynamic:
-            zero = jnp.zeros((T, T), dtype=dtype)
-            m_int_up = mniw_ops.posterior(m_int, 1, f_up, f_reg, zero, zero,
-                                          zero)
-            m_obs_up = mniw_ops.posterior(m_obs, 1, y[:, None], f_up, zero,
-                                          zero, zero)
-            do_mniw = member & (n >= 1) & (N_newf < limit)
-            m_int_new = jax.tree.map(
-                lambda a, b: jnp.where(do_mniw, a, b), m_int_up, m_int)
-            m_obs_new = jax.tree.map(
-                lambda a, b: jnp.where(do_mniw, a, b), m_obs_up, m_obs)
+            # --- both MNIW 1-step updates in ONE batched pass (leading
+            # dim 2 = {internal, observation}); math of
+            # GPI_model.matrix_normal_inv_wishart.posterior with zeroed
+            # covariances (GPI_model.py:1300-1344, n_k == 1 form).
+            Y1 = jnp.stack([f_up, y[:, None]])            # (2, T, 1)
+            Y2 = jnp.stack([f_reg, f_up])
+            Vm = mniw.row_cov                              # (2, T, T)
+            jit2 = 1e-2 * jnp.maximum(
+                jnp.mean(jnp.abs(jnp.diagonal(mniw.scale, axis1=1, axis2=2)),
+                         axis=1), jnp.finfo(dtype).eps)    # (2,)
+            L_V = jnp.linalg.cholesky(
+                0.5 * (Vm + Vm.swapaxes(-1, -2))
+                + jit2[:, None, None] * eye)
+            V_inv = jax.scipy.linalg.cho_solve((L_V, True),
+                                               jnp.broadcast_to(eye, Vm.shape))
+            S__ = Y2 @ Y2.swapaxes(-1, -2) + V_inv
+            S_x = Y1 @ Y2.swapaxes(-1, -2) + mniw.mean @ V_inv
+            L_S2 = jnp.linalg.cholesky(
+                0.5 * (S__ + S__.swapaxes(-1, -2)) + 1e-8 * eye)
+            part = jax.scipy.linalg.cho_solve(
+                (L_S2, True), S_x.swapaxes(-1, -2)).swapaxes(-1, -2)
+            n0 = mniw.n0                                   # (2,)
+            new_n0 = n0 + 1.0
+            c0 = ((n0 - 2.0) / (new_n0 - 2.0))[:, None, None]
+            c1 = (1.0 / (new_n0 - 2.0))[:, None, None]
+            mean_up = c0 * mniw.mean + c1 * part
+            e = Y1 - Y2
+            scale_up = c0 * mniw.scale + c1 * (e @ e.swapaxes(-1, -2))
+            mniw_up = MNIW(mean_up, S__, new_n0, scale_up)
 
-            G_post = mniw_ops.get_scale(m_int_new, final=False)
-            S_post = mniw_ops.get_scale(m_obs_new, final=False)
-            G_base = jnp.where(n >= 1, G_post, G)
-            S_base = jnp.where(n >= 1, S_post, S)
+            do_mniw = member & (n >= 1) & (N_newf < limit)
+            mniw_new = jax.tree.map(
+                lambda a, b: jnp.where(do_mniw, a, b), mniw_up, mniw)
+
+            post_scale = mniw_new.scale * (
+                mniw_new.n0 / (mniw_new.n0 - 2.0))[:, None, None]
+            GS_base = jnp.where(n >= 1, post_scale,
+                                jnp.stack([G, S]))
             if annealing:
-                G_base = G_base + (G0diag / N_newf**2) * eye
-                S_base = S_base + (S0diag / N_newf**2) * eye
+                anneal = jnp.stack([G0diag, S0diag])[:, None, None] \
+                    / N_newf**2 * eye
+                GS_base = GS_base + anneal
             do_append = member & (N_newf < limit)
-            A_out = jnp.where(do_append, m_int_new.mean, A)
-            C_out = jnp.where(do_append, m_obs_new.mean, C)
-            G_out = jnp.where(do_append, G_base, G)
-            S_out = jnp.where(do_append, S_base, S)
-            m_int_out = jax.tree.map(lambda a, b: jnp.where(member, a, b),
-                                     m_int_new, m_int)
-            m_obs_out = jax.tree.map(lambda a, b: jnp.where(member, a, b),
-                                     m_obs_new, m_obs)
+            A_out = jnp.where(do_append, mniw_new.mean[0], A)
+            C_out = jnp.where(do_append, mniw_new.mean[1], C)
+            G_out = jnp.where(do_append, GS_base[0], G)
+            S_out = jnp.where(do_append, GS_base[1], S)
+            mniw_out = jax.tree.map(lambda a, b: jnp.where(member, a, b),
+                                    mniw_new, mniw)
         else:
             A_out, G_out, C_out, S_out = A, G, C, S
-            m_int_out, m_obs_out = m_int, m_obs
+            mniw_out = mniw
 
         f_next = jnp.where(member, f_up, f)
         P_next = jnp.where(member, P_up, P)
@@ -258,15 +294,18 @@ def build_refit(T: int, est_limit: Optional[int] = None,
         n_out = jnp.where(member, N_new, n)
 
         score_mean = (C_out @ f_next)[:, 0]
-        L_score = linalg.chol_spd(S_out)
 
         new_carry = (f_next, P_next, f_prevF_next, P_prevF_next,
-                     A_out, G_out, C_out, S_out, m_int_out, m_obs_out,
+                     A_out, G_out, C_out, S_out, mniw_out,
                      n_out, noise0, G0diag, S0diag)
-        # A_prev_out: params as they were BEFORE this step (so at a
-        # member step they are the post-previous-member params).
-        emit = (member, f_next, P_next, A_out, G_out, S_out,
-                score_mean, L_score, f_smp, P_smp, A, G)
+        if pair_smooth and not full_backward:
+            # online builds need the pair-smoothed values for the
+            # compact-summary gather points
+            emit = (member, f_next, P_next, A_out, G_out, S_out,
+                    score_mean, f_smp, P_smp)
+        else:
+            emit = (member, f_next, P_next, A_out, G_out, S_out,
+                    score_mean)
         return new_carry, emit
 
     def backward_step(carry, inp):
@@ -290,15 +329,23 @@ def build_refit(T: int, est_limit: Optional[int] = None,
         G0diag = jnp.mean(jnp.diag(state.Gamma_def))
         S0diag = jnp.mean(jnp.diag(state.Sigma_def))
 
+        mniw0 = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                             state.mniw_int, state.mniw_obs)
         carry0 = (state.f_last, state.P_last, state.f_prev, state.P_prev,
                   state.A, state.Gamma, state.C, state.Sigma,
-                  state.mniw_int, state.mniw_obs, state.n,
-                  noise0, G0diag, S0diag)
+                  mniw0, state.n, noise0, G0diag, S0diag)
         carryF, emits = jax.lax.scan(forward_step, carry0, (Y, resp))
-        (member, f_filt, P_filt, A_seq, G_seq, S_seq, score_mean, L_score,
-         f_smp, P_smp, A_before, G_before) = emits
+        if pair_smooth and not full_backward:
+            (member, f_filt, P_filt, A_seq, G_seq, S_seq, score_mean,
+             f_smp, P_smp) = emits
+        else:
+            (member, f_filt, P_filt, A_seq, G_seq, S_seq,
+             score_mean) = emits
+            f_smp, P_smp = f_filt, P_filt
         (f_lastF, P_lastF, f_prevF, P_prevF, A_f, G_f, C_f, S_f,
-         m_int_f, m_obs_f, n_f, *_aux) = carryF
+         mniw_f, n_f, *_aux) = carryF
+        m_int_f = jax.tree.map(lambda a: a[0], mniw_f)
+        m_obs_f = jax.tree.map(lambda a: a[1], mniw_f)
 
         # ---- full RTS backward pass over members ----
         if dynamic and full_backward:
@@ -321,23 +368,26 @@ def build_refit(T: int, est_limit: Optional[int] = None,
                                mt[jnp.clip(h_nonmember, 0, N)])
         gather_idx = jnp.clip(gather_idx, 0, N - 1)
 
+        # one batched Cholesky of the gathered score covariances (the
+        # scan emits S only; factorisation is amortised post-scan)
+        eye = jnp.eye(T, dtype=dtype)
+        idx0 = jnp.clip(mt[0], 0, N - 1)
+        first_member = member & (pos == 0)
+        Sg = S_seq[gather_idx]                           # (N, T, T)
+        # first-member covariance inflation (GPI_model.py:272)
+        Sg = jnp.where(first_member[:, None, None],
+                       Sg + (1e-2 * S0diag) * eye, Sg)
+        Sg = 0.5 * (Sg + Sg.swapaxes(-1, -2))
+        diag_mean = jnp.maximum(
+            jnp.mean(jnp.abs(jnp.diagonal(Sg, axis1=1, axis2=2)), axis=1),
+            jnp.finfo(dtype).eps)
+        Lg = jnp.linalg.cholesky(
+            Sg + (1e-8 * diag_mean)[:, None, None] * eye)
         mean_g = score_mean[gather_idx]                  # (N, T)
-        Lg = L_score[gather_idx]                         # (N, T, T)
         diff = (Y - mean_g)[..., None]
         sol = jax.scipy.linalg.solve_triangular(Lg, diff, lower=True)
         mahal = jnp.sum(sol[..., 0] ** 2, axis=1)
         q = -0.5 * mahal - 0.5 * T * LOG2PI
-
-        # first-member covariance inflation
-        first_member = member & (pos == 0)
-        eye = jnp.eye(T, dtype=dtype)
-        idx0 = jnp.clip(mt[0], 0, N - 1)
-        S_first = S_seq[idx0] + (1e-2 * S0diag) * eye
-        L_first = linalg.chol_spd(S_first)
-        diff0 = (Y - score_mean[idx0]).T                 # (T, N)
-        sol0 = jax.scipy.linalg.solve_triangular(L_first, diff0, lower=True)
-        q_first = -0.5 * jnp.sum(sol0**2, axis=0) - 0.5 * T * LOG2PI
-        q = jnp.where(first_member, q_first, q)
         q = jnp.where(n_members > 0, q, jnp.zeros_like(q))
 
         # ---- latent scores (compute_q_lat_all parity) ----
@@ -354,10 +404,16 @@ def build_refit(T: int, est_limit: Optional[int] = None,
             G_j = jnp.where(is_first, G_f[None], G_j)
 
             resid = lat_cur - A_j @ lat_prev
-            Lg2 = jax.vmap(linalg.chol_spd)(G_j)
+            Gjs = 0.5 * (G_j + G_j.swapaxes(-1, -2))
+            gdiag = jnp.maximum(
+                jnp.mean(jnp.abs(jnp.diagonal(Gjs, axis1=1, axis2=2)),
+                         axis=1), jnp.finfo(dtype).eps)
+            Lg2 = jnp.linalg.cholesky(
+                Gjs + (1e-8 * gdiag)[:, None, None] * eye)
             sol2 = jax.scipy.linalg.solve_triangular(Lg2, resid, lower=True)
             mahal2 = jnp.sum(sol2[..., 0] ** 2, axis=1)
-            Ginv_A = jax.vmap(linalg.cho_solve)(Lg2, A_j)
+            Ginv_A = jax.vmap(lambda L, B: jax.scipy.linalg.cho_solve(
+                (L, True), B))(Lg2, A_j)
             # trace(A' G^-1 A P) = sum(A * (G^-1 A P))
             trace = jnp.sum(A_j * (Ginv_A @ cov_prev), axis=(1, 2))
             q_lat = -0.5 * (mahal2 + trace) - 0.5 * T * LOG2PI
@@ -366,10 +422,7 @@ def build_refit(T: int, est_limit: Optional[int] = None,
         else:
             q_lat = jnp.zeros((N,), dtype=dtype)
 
-        # ---- SNR vs closest smoothed state (GPI_HDP.compute_snr):
-        # j = min(max(closest_lower(t), 1), n_members); target =
-        # f_star_sm[j] = smoothed state of member j-1;
-        # snr = 10 log10(||f||^2 / ||f - y||^2) (torchmetrics semantics).
+        # ---- SNR vs closest smoothed state (GPI_HDP.compute_snr) ----
         j_idx = jnp.clip(jnp.maximum(pos, 1), 1, jnp.maximum(n_members, 1))
         snr_gather = jnp.clip(mt[j_idx - 1], 0, N - 1)
         f_tgt = f_sm[snr_gather][..., 0]                 # (N, T)

@@ -245,6 +245,52 @@ class HDPGPC:
         return (np.asarray(res.q), np.asarray(res.q_lat),
                 np.asarray(res.snr), out)
 
+    def _refit_prog_batched(self, update_params=True):
+        """jit(vmap(refit)): run B cluster refits in ONE XLA call —
+        batches the tiny (T, T) ops across clusters/leads so the MXU is
+        fed (K, T, T) work instead of latency-bound single tiles."""
+        key = ("vmap", update_params)
+        if key not in self._refits:
+            inner = self._refit_prog(update_params=update_params)
+            self._refits[key] = jax.jit(jax.vmap(inner))
+        return self._refits[key]
+
+    def _full_refit_batch(self, jobs, update_params=True):
+        """Batched version of _full_refit.
+
+        jobs: list of (cl, ld, Y (N, T), resp_col). Returns a list of
+        (q, q_lat, snr, Cluster) in job order. All jobs must share N, T.
+        """
+        if not jobs:
+            return []
+        if len(jobs) == 1:
+            cl, ld, Y, rc = jobs[0]
+            return [self._full_refit(cl, ld, Y, rc,
+                                     update_params=update_params)]
+        prepped = []
+        for cl, ld, Y, rc in jobs:
+            st = gplds.reinit_cluster_state(
+                cl.state, float(self.cfg.gp.free_deg_mniw))
+            c2 = Cluster(st, cl.fitted, cl.members)
+            c2 = self._maybe_kernel_fit(c2, ld, Y, rc)
+            prepped.append(c2)
+        states = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[c.state for c in prepped])
+        Yb = jnp.asarray(np.stack([j[2] for j in jobs]))
+        Rb = jnp.asarray(np.stack([j[3] for j in jobs]))
+        prog = self._refit_prog_batched(update_params=update_params)
+        res = prog(Yb, Rb, states)
+        qs = np.asarray(res.q)
+        qls = np.asarray(res.q_lat)
+        snrs = np.asarray(res.snr)
+        out = []
+        for i, (cl, ld, Y, rc) in enumerate(jobs):
+            st_i = jax.tree.map(lambda x: x[i], res.state)
+            members = np.flatnonzero(rc > 0.99)
+            out.append((qs[i], qls[i], snrs[i],
+                        Cluster(st_i, prepped[i].fitted, members)))
+        return out
+
     # ------------------------------------------------------------------
     # SNR fusion (GPI_HDP.py:663-756)
     # ------------------------------------------------------------------
@@ -725,39 +771,41 @@ class HDPGPC:
 
         y_w, x_w, liks = self._warp_by_resp(x, y, resp_temp, f_ind_old)
 
-        clusters_temp: List[List[Cluster]] = [[] for _ in range(L)]
+        clusters_temp: List[List[Cluster]] = [
+            [None] * M for _ in range(L)]
+        jobs = []
+        job_slots = []
         for ld in range(L):
             for m in range(M):
                 idx_new = np.flatnonzero(resp_temp[:, m] == 1.0)
                 if reorder[m] < len(clusters[ld]):
                     cl = clusters[ld][reorder[m]]
                     if not np.array_equal(idx_new, cl.members):
-                        q_col, ql_col, s_col, cl2 = self._full_refit(
-                            cl, ld, y_w[:, :, ld, reorder[m]],
-                            resp_temp[:, m])
-                        q[:, m, ld] = q_col + liks[:, reorder[m], ld]
-                        q_lat[:, m, ld] = ql_col
-                        snr_aux[:, m, ld] = s_col
-                        clusters_temp[ld].append(cl2)
+                        jobs.append((cl, ld, y_w[:, :, ld, reorder[m]],
+                                     resp_temp[:, m]))
+                        job_slots.append((ld, m))
                     else:
                         q[:, m, ld] = q_[:, reorder[m], ld]
                         q_lat[:, m, ld] = q_lat_[:, reorder[m], ld]
                         snr_aux[:, m, ld] = snr_[:, m, ld]
-                        clusters_temp[ld].append(cl)
+                        clusters_temp[ld][m] = cl
                 else:
                     cl = self._new_cluster()
                     if idx_new.size > 0:
-                        q_col, ql_col, s_col, cl = self._full_refit(
-                            cl, ld, y_w[:, :, ld, reorder[m]],
-                            resp_temp[:, m])
-                        q[:, m, ld] = q_col + liks[:, reorder[m], ld]
-                        q_lat[:, m, ld] = ql_col
-                        snr_aux[:, m, ld] = s_col
+                        jobs.append((cl, ld, y_w[:, :, ld, reorder[m]],
+                                     resp_temp[:, m]))
+                        job_slots.append((ld, m))
                     else:
                         q[:, m, ld] = q_[:, m, ld]
                         q_lat[:, m, ld] = q_lat_[:, m, ld]
                         snr_aux[:, m, ld] = 0.0
-                    clusters_temp[ld].append(cl)
+                        clusters_temp[ld][m] = cl
+        for (ld, m), (q_col, ql_col, s_col, cl2) in zip(
+                job_slots, self._full_refit_batch(jobs)):
+            q[:, m, ld] = q_col + liks[:, reorder[m], ld]
+            q_lat[:, m, ld] = ql_col
+            snr_aux[:, m, ld] = s_col
+            clusters_temp[ld][m] = cl2
 
         print(">>> Q_all_loop -------")
         q_bas, elbo_bas = self.compute_q_elbo(
@@ -846,14 +894,24 @@ class HDPGPC:
         f_ind_old = self.f_ind_old.copy()
 
         # ---- q_simple: score each cluster seeded with its representative
+        # (batched across all (lead, cluster) pairs in one vmapped call)
         q_simple = q_.copy()
+        seed_jobs, seed_slots = [], []
         for ld in range(L):
             for m in range(M):
                 if indexes_[m].size > 0:
-                    qs, _snr = self._seed_score(
-                        self.clusters[ld][m], ld, y_w[:, :, ld, m],
-                        int(f_ind_old[m]))
-                    q_simple[:, m, ld] = qs + liks[:, m, ld]
+                    rc = np.zeros(N)
+                    rc[int(f_ind_old[m])] = 1.0
+                    cl = self.clusters[ld][m]
+                    st = gplds.reinit_cluster_state(
+                        cl.state, float(self.cfg.gp.free_deg_mniw))
+                    seed_jobs.append((Cluster(st, cl.fitted, cl.members),
+                                      ld, y_w[:, :, ld, m], rc))
+                    seed_slots.append((ld, m))
+        for (ld, m), (qs, _ql, _snr, _cl) in zip(
+                seed_slots,
+                self._full_refit_batch(seed_jobs, update_params=False)):
+            q_simple[:, m, ld] = qs + liks[:, m, ld]
 
         snr_aux = snr_.copy()
         if M > 1:
@@ -1229,3 +1287,584 @@ class HDPGPC:
             out[k] = cand
             used.add(cand)
         return out
+
+    # ------------------------------------------------------------------
+    # Online streaming VI (GPI_HDP.include_sample, GPI_HDP.py:1906-2208;
+    # cache design follows include_sample_fast, :2312-2629)
+    # ------------------------------------------------------------------
+
+    def _ensure_online_buffers(self, L):
+        if self._y_all is None:
+            self._y_all = np.zeros((0, self.Tb, L))
+        if self.q_last is None:
+            self.q_last = np.zeros((self.T_count, self.M, L)) - np.inf
+        if self.q_lat_last is None:
+            self.q_lat_last = np.zeros((self.T_count, self.M, L))
+        if self.resp_last is None:
+            self.resp_last = np.zeros((self.T_count, self.M))
+            self.respPair_last = np.zeros((self.T_count, self.M, self.M))
+            if self.T_count > 0:
+                self.resp_last[0, 0] = 1.0
+                self.respPair_last[0, 0, 0] = 1.0
+
+    def _include_one(self, cl: Cluster, ld: int, y: np.ndarray, t: int
+                     ) -> Cluster:
+        """Online commit of one beat: kernel fit if first-ever, Kalman
+        include + 1-step MNIW update WITHOUT pair smoothing
+        (GPI_HDP.py:2185-2197 commit loop)."""
+        resp1 = np.ones(1)
+        cl = self._maybe_kernel_fit_online(cl, ld, y)
+        prog = self._refit_prog(update_params=True, pair_smooth=False,
+                                full_backward=False)
+        res = prog(jnp.asarray(y[None, :]), jnp.asarray(resp1), cl.state)
+        members = np.append(cl.members, t)
+        return Cluster(res.state, cl.fitted, members)
+
+    def _maybe_kernel_fit_online(self, cl: Cluster, ld: int, y: np.ndarray
+                                 ) -> Cluster:
+        if cl.fitted or int(cl.state.n) > 0:
+            return cl
+        key = (ld, hash(y.tobytes()), self._def_bound_sigma)
+        theta = self._kernel_fit_cache.get(key)
+        if theta is None:
+            theta = fit_kernel(self.x_basis, y, self._def_bound_sigma,
+                               pin_lengthscale=self.cfg.gp.kernel_fit_pin_lengthscale,
+                               max_iters=self.cfg.gp.kernel_fit_iters,
+                               lr=self.cfg.gp.kernel_fit_lr)
+            theta = KernelParams(*(np.float64(v) for v in theta))
+            self._kernel_fit_cache[key] = theta
+        st = gplds.apply_kernel_fit(cl.state, jnp.asarray(self.x_basis),
+                                    KernelParams(*map(jnp.asarray, theta)))
+        return Cluster(st, True, cl.members)
+
+    def _candidate_include(self, cl: Cluster, ld: int, y: np.ndarray,
+                           t: int) -> Cluster:
+        """Absorb-candidate include: Kalman + backwards_pair + MNIW
+        (GPI_HDP.py:2026-2032)."""
+        cl = self._maybe_kernel_fit_online(cl, ld, y)
+        prog = self._refit_prog(update_params=True, pair_smooth=True,
+                                full_backward=False)
+        res = prog(jnp.asarray(y[None, :]), jnp.asarray(np.ones(1)),
+                   cl.state)
+        return Cluster(res.state, cl.fitted, np.append(cl.members, t))
+
+    def _patch_q_lat_col(self, col: np.ndarray, cl: Cluster,
+                         h_ini: float = 1.0) -> np.ndarray:
+        """Refresh the only q_lat entries an online step can change:
+        the first / second-to-last / last members' latent scores
+        (compute_q_lat_all semantics via the compact summary)."""
+        if cl.members.size == 0 or self.cfg.gp.model_type != "dynamic":
+            return col
+        vf, vp, vl = (float(v) for v in gplds.q_lat_tail(cl.state, h_ini))
+        col = col.copy()
+        col[cl.members[0]] = vf
+        if cl.members.size >= 2:
+            col[cl.members[-1]] = vl
+        if cl.members.size >= 3:
+            col[cl.members[-2]] = vp
+        if cl.members.size == 1:
+            col[cl.members[0]] = vf
+        return col
+
+    def _online_pis(self, M):
+        """Online transPi/startPi use digamma-sum denominators
+        (variational_local_terms, GPI_HDP.py:607-610), unlike the
+        batch path's log-sum-exp form."""
+        transPi = sb.trans_log_pi_from_theta(self.glob.trans_theta, M,
+                                             log_sum_exp_form=False)
+        startPi = sb.start_log_pi_from_theta(self.glob.start_theta, M,
+                                             log_sum_exp_form=False)
+        return startPi, transPi
+
+    def _vlt_online(self, q, liks=None, classify=False):
+        """variational_local_terms (GPI_HDP.py:586-630): full-history FB
+        on fused q; returns hard resp/respPair. q: (T, K, L)."""
+        M = self.M
+        q = q.copy()
+        if liks is not None:
+            q[-1] = q[-1] + np.asarray(liks)[:, None]
+        if classify:
+            q[:, -1, :] = -np.inf
+        startPi, transPi = self._online_pis(M)
+        q_w = self.weight_mean(q)
+        q_norm = q_w - q_w.max(axis=1, keepdims=True)
+        resp, logresp, respPair, logrespPair = self._fb(q_norm, startPi,
+                                                        transPi)
+        return resp, logresp, respPair, logrespPair
+
+    def include_sample(self, x_train, y, with_warp: bool = True,
+                       force_model=None, classify: bool = False):
+        """Include one streaming beat: score, decide birth vs absorb by
+        ELBO, commit, update HDP globals (GPI_HDP.py:1906-2208)."""
+        t = self.T_count
+        y = np.asarray(y, np.float64)
+        if y.ndim == 1:
+            y = y[:, None]
+        L = y.shape[1]
+        assert L == self.n_outputs
+        M = self.M
+        self._ensure_online_buffers(L)
+        if not classify:
+            self.T_count = t + 1
+            self.snr_norm = np.ones((self.T_count, L))
+            self._y_all = np.concatenate([self._y_all, y[None]], axis=0)
+
+        # ---- warp each lead against every cluster (online strategies) --
+        liks = np.zeros(M + 1)
+        y_mod = np.broadcast_to(y[:, :, None], (self.Tb, L, M + 1)).copy()
+        if with_warp and t > 0 and self.warp:
+            for ld in range(L):
+                y_w_ld, x_w_ld, liks = self._compute_warp_y_online(
+                    y[:, ld], ld, force_model)
+                y_mod[:, ld, :M] = y_w_ld.T
+
+        # ---- q over history + new row ----
+        Tn = t + 1
+        q_aux = np.zeros((Tn, M + 1, L)) - np.inf
+        q_lat = np.zeros((Tn, M + 1, L))
+        if t > 0:
+            q_aux[:-1, :self.q_last.shape[1], :] = self.q_last
+            q_lat[:-1, :self.q_lat_last.shape[1], :] = self.q_lat_last
+        for ld in range(L):
+            for m in range(M):
+                cl = self.clusters[ld][m]
+                q_aux[-1, m, ld] = float(gplds.log_sq_error_last(
+                    cl.state, jnp.asarray(y_mod[:, ld, m]))) + liks[m]
+                q_lat[:, m, ld] = self._patch_q_lat_col(
+                    q_lat[:, m, ld], cl)
+
+        if t > 0:
+            resp, resplog, respPair, respPairlog = self._vlt_online(q_aux)
+            q_all, elbo = self.compute_q_elbo(
+                resp[:-1, :-1], respPair[:-1, :-1, :-1],
+                self.weight_mean(q_aux)[:-1, :-1],
+                self.weight_mean(q_lat)[:-1, :-1],
+                self.clusters, self.M, snr="saved", post=False,
+                one_sample=True, verb=self.verbose)
+        else:
+            q_all, elbo = 0.0, 0.0
+
+        q_chos, q_lat_chos = q_aux, q_lat
+        if t > 0:
+            resp, resplog, respPair, respPairlog = self._vlt_online(q_aux)
+
+        if classify:
+            resp_mod = np.asarray(resp[-1]) if t > 0 else None
+            return q_chos[:-1], resp_mod, liks[:-1]
+
+        if t > 0 and force_model is None:
+            q_ord = np.argsort(-self.weight_mean(q_aux)[-1, :-1],
+                               kind="stable")
+            m_template = int(q_ord[-1])
+
+            # ===== birth candidate (GPI_HDP.py:1996-2013) =====
+            q_prev = q_aux.copy()
+            q_lat_prev = q_lat.copy()
+            prov: List[Cluster] = []
+            for ld in range(L):
+                cl = self.clusters[ld][m_template]
+                st = gplds.reinit_cluster_state(
+                    cl.state, float(self.cfg.gp.free_deg_mniw))
+                pc = Cluster(st, cl.fitted)
+                q_prev[-1, -1, ld] = float(gplds.estimate_new(
+                    pc.state, jnp.asarray(y_mod[:, ld, -1]))) + liks[-1]
+                pc = self._candidate_include(pc, ld, y_mod[:, ld, -1], t)
+                q_lat_prev[:, -1, ld] = self._patch_q_lat_col(
+                    q_lat_prev[:, -1, ld], pc)
+                prov.append(pc)
+            resp_prev, _, respPair_prev, _ = self._vlt_online(q_prev, liks)
+            clusters_birth = [list(self.clusters[ld]) + [prov[ld]]
+                              for ld in range(L)]
+            q_prev_post, elbo_prev_post = self.compute_q_elbo(
+                resp_prev, respPair_prev, self.weight_mean(q_prev),
+                self.weight_mean(q_lat_prev), clusters_birth, self.M,
+                snr="saved", post=True, one_sample=True, verb=self.verbose)
+            elbo_prev_post -= elbo
+            q_prev_post -= q_all
+
+            if int(np.argmax(self.weight_mean(q_prev)[-1])) == self.M:
+                # ===== absorb candidates in q-order (GPI_HDP.py:2022-2059)
+                q_post = q_aux.copy()
+                q_lat_post = q_lat.copy()
+                chosen = None
+                for m_cand in q_ord:
+                    m_cand = int(m_cand)
+                    cands: List[Cluster] = []
+                    clusters_post = [list(self.clusters[ld])
+                                     for ld in range(L)]
+                    for ld in range(L):
+                        cl = self.clusters[ld][m_cand]
+                        q_post[-1, m_cand, ld] = float(gplds.estimate_new(
+                            cl.state, jnp.asarray(y_mod[:, ld, m_cand]))) \
+                            + liks[m_cand]
+                        cc = self._candidate_include(
+                            cl.clone(), ld, y_mod[:, ld, m_cand], t)
+                        q_lat_post[:, m_cand, ld] = self._patch_q_lat_col(
+                            q_lat_post[:, m_cand, ld], cc)
+                        clusters_post[ld][m_cand] = cc
+                        cands.append(cc)
+                    resp_post, _, respPair_post, _ = self._vlt_online(
+                        q_post, liks)
+                    q_bas_post, elbo_bas_post = self.compute_q_elbo(
+                        resp_post[:, :-1], respPair_post[:, :-1, :-1],
+                        self.weight_mean(q_post)[:, :-1],
+                        self.weight_mean(q_lat_post)[:, :-1],
+                        clusters_post, self.M, snr="saved", post=False,
+                        one_sample=True, verb=self.verbose)
+                    elbo_bas_post -= elbo
+                    q_bas_post -= q_all
+                    if q_bas_post + elbo_bas_post \
+                            > q_prev_post + elbo_prev_post:
+                        chosen = m_cand
+                        break
+                if chosen is not None:
+                    q_chos, q_lat_chos = q_post, q_lat_post
+                    resp, resplog, respPair, respPairlog = \
+                        self._vlt_online(q_chos, liks)
+                else:
+                    q_chos, q_lat_chos = q_prev, q_lat_prev
+                    resp, respPair = resp_prev, respPair_prev
+                    resplog = None
+            else:
+                q_chos, q_lat_chos = q_aux, q_lat
+                resp, resplog, respPair, respPairlog = self._vlt_online(
+                    q_chos, liks)
+        elif t == 0:
+            resp = np.zeros((1, M + 1))
+            init_state = 0 if force_model is None else int(force_model)
+            resp[0, init_state] = 1.0
+            respPair = np.zeros((1, M + 1, M + 1))
+            respPair[0, init_state, init_state] = 1.0
+            resplog = None
+        else:
+            resp, resplog, respPair, respPairlog = self._vlt_online(
+                q_chos, liks)
+
+        resp_mod = np.asarray(resp[-1], np.float64).copy()
+        # tie normalisation at rtol 1e-2 (GPI_HDP.py:2082-2085)
+        if np.sum(np.isclose(resp_mod, resp_mod.max(), rtol=1e-2)) > 1:
+            h_argmax = int(np.nanargmax(resp_mod))
+            resp_mod[:] = 0.0
+            resp_mod[h_argmax] = 1.0
+        model = int(np.argmax(resp_mod))
+        if self.cfg.max_models is not None and model >= self.cfg.max_models:
+            force_model = model = int(np.argmax(resp_mod[:-1]))
+        if force_model is not None:
+            resp_mod[:] = 0.0
+            resp_mod[int(force_model)] = 1.0
+            model = int(force_model)
+            resp[-1, :] = 0.0
+            resp[-1, model] = 1.0
+            respPair[-1] = 0.0
+            respPair[-1, model, model] = 1.0
+
+        # ---- birth commit ----
+        birth = model == self.M
+        if birth:
+            print("Birth of new model: ", self.M + 1)
+            self.M += 1
+            M = self.M
+            for ld in range(L):
+                self.clusters[ld].append(self._new_cluster())
+            y_full = np.concatenate(
+                [y_mod[:, :, -1:]], axis=2)  # newborn uses last warp col
+            y_mod = np.concatenate([y_mod, y_full], axis=2)
+
+        # reorder by group size (GPI_HDP.reorder, GPI_HDP.py:1091-1110)
+        reorder = np.argsort(-resp[:, :M].sum(axis=0), kind="stable")
+        resp_s = resp.copy()
+        resp_s[:, :M] = resp[:, :M][:, reorder]
+        respPair_s = respPair.copy()
+        respPair_s[:, :M, :M] = respPair[:, :M, :M][:, reorder][:, :, reorder]
+        q_chos[:, :M] = q_chos[:, :M][:, reorder]
+        q_lat_chos[:, :M] = q_lat_chos[:, :M][:, reorder]
+        for ld in range(L):
+            self.clusters[ld][:M] = [self.clusters[ld][i] for i in reorder]
+        resp, respPair = resp_s, respPair_s
+        resp_mod = np.asarray(resp[-1, :M], np.float64)
+        model = int(np.argmax(resp_mod))
+
+        # ---- HDP global update (4 iterations; GPI_HDP.py:2113-2141) ----
+        start_counts = resp[0, :M]
+        trans_counts = respPair[:, :M, :M].sum(axis=0)
+        if M > 2:
+            self.glob = sb.reinit_globals(self.glob, M - 1, trans_counts,
+                                          start_counts)
+        if M >= 2:
+            for _ in range(4):
+                tt, st = sb.calc_theta_full(self.glob, trans_counts,
+                                            start_counts, M)
+                self.glob = sb.HDPGlobals(
+                    self.glob.rho, self.glob.omega, tt, st, self.glob.gamma,
+                    self.glob.trans_alpha, self.glob.start_alpha,
+                    self.glob.kappa)
+                self.glob = sb.optimise_globals(self.glob, M=self.M + 1)
+
+        # ---- commit to real clusters ----
+        self.actual_state = model
+        if self.verbose:
+            print("Main model chosen:", model + 1)
+        for ld in range(L):
+            for m in range(M):
+                hh = resp_mod[m] if m < resp_mod.shape[0] else 0.0
+                src = reorder[m] if m < reorder.shape[0] else m
+                y_commit = y_mod[:, ld, min(src, y_mod.shape[2] - 1)]
+                if hh > 0.99:
+                    self.clusters[ld][m] = self._include_one(
+                        self.clusters[ld][m], ld, y_commit, t)
+
+        # ---- refresh caches ----
+        q_full = np.zeros((Tn, self.M, L)) - np.inf
+        q_full[:, :q_chos.shape[1] - (0 if birth else 1), :] = \
+            q_chos[:, :self.M, :]
+        self.q_last = q_chos[:, :self.M, :].copy()
+        ql = q_lat_chos[:, :self.M, :].copy()
+        for ld in range(L):
+            for m in range(self.M):
+                ql[:, m, ld] = self._patch_q_lat_col(
+                    ql[:, m, ld], self.clusters[ld][m])
+        self.q_lat_last = ql
+        self.resp_last = resp[:, :self.M].copy()
+        self.respPair_last = respPair[:, :self.M, :self.M].copy()
+        self.resp_assigned.append(np.argmax(resp[:, :self.M], axis=1))
+        return model
+
+    # alias with the fast-cache semantics (our include_sample already
+    # caches q/q_lat/resp and appends the last step; GPI_HDP.py:2312)
+    include_sample_fast = include_sample
+
+    def _compute_warp_y_online(self, y_ld, ld, force_model=None):
+        """Greedy online warp strategy (compute_warp_y,
+        GPI_HDP.py:3153-3322): warp vs clusters ranked by current fit
+        until the gain ratio gate closes."""
+        from hdpgpc_tpu.warp.monotone import make_warp_prior
+        M = self.M
+        T = self.Tb
+        w = self.cfg.warp
+        if self._warp_fn is None:
+            self._warp_fn = build_batch_warp(
+                T, n_ctrl=w.n_ctrl, lr=w.lr, lam_s_base=w.lambda_smooth,
+                lam_a_base=w.lambda_amp, train_iter=w.train_iter_online)
+        prior = self._warp_priors.get(T)
+        if prior is None:
+            prior = make_warp_prior(jnp.asarray(self.x_basis), w.noise_warp,
+                                    w.bound_noise_warp)
+            self._warp_priors[T] = prior
+        base = float(warp_prior_score(
+            prior, jnp.zeros((1, T), jnp.float64))[0])
+        liks = np.full(M + 1, base)
+        y_w = np.tile(y_ld[:, None], (1, M))
+        x_w = np.zeros((T, M))
+        # rank clusters by estimate_new scores
+        q_C = np.array([float(gplds.estimate_new(self.clusters[ld][g].state,
+                                                 jnp.asarray(y_ld)))
+                        for g in range(M)])
+        order = np.argsort(-q_C)
+        x0 = jnp.asarray(self.x_basis)
+        for i, m in enumerate(order):
+            m = int(m)
+            cl = self.clusters[ld][m]
+            if cl.members.size == 0:
+                liks[m] += liks[:-1].max()
+                continue
+            mean = np.asarray((cl.state.C @ cl.state.f_last)[:, 0])
+            noise = np.asarray(np.diag(np.asarray(cl.state.Sigma)))
+            res = self._warp_fn(x0, jnp.asarray(y_ld[None, :]),
+                                jnp.asarray(mean), prior,
+                                jnp.asarray(self._def_lengthscale),
+                                jnp.asarray(1.0), jnp.asarray(noise))
+            y_w[:, m] = np.asarray(res.y_warp[0])
+            x_w[:, m] = np.asarray(res.x_warp[0])
+            basis_lik = float(warp_prior_score(prior, res.x_warp)[0])
+            liks[m] = float(res.lik[0]) + basis_lik
+            # greedy gate (GPI_HDP.py:3300-3313)
+            if i < M - 1 and i < 8:
+                num = q_C[m] + liks[m] * 0.5 - q_C[order[i + 1]]
+                den = q_C[m] - q_C[order[i + 1]]
+                n_mem = max(int(cl.members.size), 1)
+                if den != 0 and (num / den > 0.3 / (np.log(n_mem + 1))
+                                 or i == 5):
+                    for j_ in order[i + 1:]:
+                        liks[int(j_)] += liks[order[:i + 1]].max()
+                    liks[-1] += liks[:-1].max()
+                    break
+            else:
+                for j_ in order[i + 1:]:
+                    liks[int(j_)] += liks[order[:i + 1]].max()
+                liks[-1] += liks[:-1].max()
+                break
+        return y_w, x_w, liks
+
+    # ------------------------------------------------------------------
+    # Classification / continued learning (GPI_HDP.py:2975-3151)
+    # ------------------------------------------------------------------
+
+    def cluster_new_batch(self, x_trains, y_trains, learning: bool = False,
+                          it_limit: Optional[int] = None,
+                          with_warp: bool = False):
+        """Score new beats against the trained clusters; optionally
+        absorb them and continue training (GPI_HDP.cluster_new_batch)."""
+        y = np.asarray(y_trains, np.float64)
+        if y.ndim == 2:
+            y = y[:, :, None]
+        N, T, L = y.shape
+        M = self.M
+        q = np.zeros((N, M, L))
+        snr = np.zeros((N, M, L))
+        for ld in range(L):
+            for m in range(M):
+                cl = self.clusters[ld][m]
+                mean = np.asarray((cl.state.C @ cl.state.f_last)[:, 0])
+                Sg = np.asarray(cl.state.Sigma)
+                from hdpgpc_tpu.ops.linalg import gaussian_score_shared_cov
+                q[:, m, ld] = np.asarray(gaussian_score_shared_cov(
+                    jnp.asarray(y[:, :, ld]), jnp.asarray(mean),
+                    jnp.asarray(Sg)))
+                f = np.asarray(cl.state.f_sm_last[:, 0])
+                num = np.sum(f**2)
+                den = np.sum((y[:, :, ld] - f[None]) ** 2, axis=1)
+                snr[:, m, ld] = 10.0 * (np.log10(max(num, 1e-300))
+                                        - np.log10(np.maximum(den, 1e-300)))
+        startPi, transPi = self._online_pis(M)
+        q_w = self.weight_mean(q, snr)
+        q_norm = q_w - q_w.max(axis=1, keepdims=True)
+        resp, _, respPair, _ = self._fb(q_norm, startPi, transPi)
+        if not learning:
+            return np.argmax(resp, axis=1)
+
+        # continued learning: concatenate histories and re-enter the
+        # offline sweep (GPI_HDP.py:3002-3151)
+        y_all = np.concatenate([self._y_all, y], axis=0) \
+            if self._y_all is not None and self._y_all.shape[0] else y
+        self.T_count = y_all.shape[0]
+        self._y_all = y_all
+        resp_full = np.concatenate([self.resp_last, resp], axis=0) \
+            if self.resp_last is not None else resp
+        respPair_full = np.concatenate([self.respPair_last, respPair],
+                                       axis=0) \
+            if self.respPair_last is not None else respPair
+        self.snr_norm = np.concatenate(
+            [self.snr_norm, self.normalize_snr(snr)], axis=0) \
+            if self.snr_norm.shape[0] else self.normalize_snr(snr)
+        reorder = np.argsort(-resp_full.sum(axis=0), kind="stable")
+        resp_full = resp_full[:, reorder]
+
+        Nf = y_all.shape[0]
+        q = np.zeros((Nf, M, L))
+        q_lat = np.zeros((Nf, M, L))
+        snr_f = np.zeros((Nf, M, L))
+        x_full = np.tile(self.x_basis, (Nf, 1))
+        for ld in range(L):
+            for m in range(M):
+                cl = self.clusters[ld][reorder[m]]
+                q_col, ql_col, s_col, cl2 = self._full_refit(
+                    cl, ld, y_all[:, :, ld], resp_full[:, m])
+                q[:, m, ld] = q_col
+                q_lat[:, m, ld] = ql_col
+                snr_f[:, m, ld] = s_col
+                self.clusters[ld][m] = cl2
+        q_w = self.weight_mean(q, snr_f)
+        q_norm = q_w - q_w.max(axis=1, keepdims=True)
+        resp, _, respPair, _ = self._fb(q_norm, startPi, transPi)
+        iteration = 0
+        reallocate = False
+        y_w = np.broadcast_to(y_all[..., None], (Nf, T, L, M))
+        while True:
+            resp, respPair, end = self._refill(resp, respPair)
+            M = self.M
+            if end:
+                break
+            (resp, respPair, q, q_lat, snr_f, y_w,
+             reallocate) = self._vlt_batch(M, x_full, y_all, y_w, resp,
+                                           respPair, q, q_lat, snr_f,
+                                           reallocate)
+            if resp.shape[1] > M:
+                self.M = M + 1
+                M = self.M
+            self._hdp_global_update(resp, respPair, M, n_iters=2)
+            if self.T_count > 1:
+                elbo_ = float(hmm_ops.entropy_terms(jnp.asarray(resp),
+                                                    jnp.asarray(respPair)))
+                q_obs, elbo_lin = self.compute_q_elbo(
+                    resp, respPair, self.weight_mean(q),
+                    self.weight_mean(q_lat), self.clusters, self.M,
+                    snr="saved", post=False)
+                elbo_ = elbo_ + elbo_lin + q_obs
+                iteration += 1
+                self.train_elbo.append(elbo_)
+                self.resp_assigned.append(np.argmax(resp, axis=1))
+                self.q_last, self.q_lat_last = q, q_lat
+                self.resp_last, self.respPair_last = resp, respPair
+                if it_limit is not None and iteration >= it_limit:
+                    break
+                repeated = (len(self.resp_assigned) > 1
+                            and self.resp_assigned[-2].shape[0]
+                            == self.resp_assigned[-1].shape[0]
+                            and np.all(self.resp_assigned[-2]
+                                       == self.resp_assigned[-1]))
+                if (np.flatnonzero(resp.sum(axis=0) == 0.0).shape[0] > 1
+                        or repeated):
+                    break
+            else:
+                break
+        return np.argmax(resp, axis=1)
+
+    def reload_model_from_labels(self, x_trains, y_trains, labels, M: int,
+                                 with_warp: bool = False):
+        """Supervised (re)initialisation: one cluster per label, full
+        refits, HDP update, representative election
+        (GPI_HDP.reload_model_from_labels, GPI_HDP.py:3952-4035)."""
+        y = np.asarray(y_trains, np.float64)
+        if y.ndim == 2:
+            y = y[:, :, None]
+        N, T, L = y.shape
+        assert L == self.n_outputs
+        labels = np.asarray(labels, np.int64)
+        if M != self.M:
+            for ld in range(L):
+                base = self.clusters[ld][0]
+                self.clusters[ld] = [base.clone() for _ in range(M)]
+        self.M = M
+        self.T_count = N
+        self._y_all = y
+        self.snr_norm = np.ones((N, L))
+
+        resp = np.zeros((N, M))
+        resp[np.arange(N), labels] = 1.0
+        respPair = np.zeros((N, M, M))
+        respPair[np.arange(1, N), labels[:-1], labels[1:]] = 1.0
+        q = np.zeros((N, M, L))
+        q_lat = np.zeros((N, M, L))
+        snr = np.zeros((N, M, L))
+        for ld in range(L):
+            base = self.clusters[ld][0]
+            for m in range(M):
+                q_col, ql_col, s_col, cl = self._full_refit(
+                    base.clone(), ld, y[:, :, ld], resp[:, m])
+                q[:, m, ld] = q_col
+                q_lat[:, m, ld] = ql_col
+                snr[:, m, ld] = s_col
+                self.clusters[ld][m] = cl
+
+        resp, respPair, _end = self._refill(resp, respPair)
+        self._hdp_global_update(resp, respPair, M, n_iters=2)
+        self.resp_assigned.append(np.argmax(resp, axis=1))
+        self.q_last, self.q_lat_last = q, q_lat
+        self.resp_last, self.respPair_last = resp, respPair
+        self.snr_norm = self.normalize_snr(snr)
+        q_w = self.weight_mean(q, snr)
+        self.f_ind_old = np.zeros(M, np.int64)
+        for m in range(M):
+            idx = self.clusters[0][m].members
+            if idx.size:
+                self.f_ind_old[m] = idx[int(np.argmax(q_w[idx, m]))]
+        elbo_ = float(hmm_ops.entropy_terms(jnp.asarray(resp),
+                                            jnp.asarray(respPair)))
+        q_obs, elbo_lin = self.compute_q_elbo(
+            resp, respPair, self.weight_mean(q), self.weight_mean(q_lat),
+            self.clusters, self.M, snr="saved", post=False)
+        elbo_ = elbo_ + elbo_lin + q_obs
+        print(f"\n-------ELBO:{elbo_}-------")
+        self.elbo_last = elbo_
+        self.train_elbo.append(elbo_)
+        return self
