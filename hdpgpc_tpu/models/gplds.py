@@ -170,7 +170,7 @@ class RefitResult(NamedTuple):
 def build_refit(T: int, est_limit: Optional[int] = None,
                 annealing: bool = True, dynamic: bool = True,
                 update_params: bool = True, pair_smooth: bool = True,
-                full_backward: bool = True):
+                full_backward: bool = True, bucket: Optional[int] = None):
     """Build the jitted refit program for (static) beat length T.
 
     Returns ``refit(Y, resp, state) -> RefitResult`` with Y: (N, T) and
@@ -187,6 +187,14 @@ def build_refit(T: int, est_limit: Optional[int] = None,
     Scoring outputs are parity-exact only for fresh-state refits
     (state.n == 0); continuation calls (online appends) use the state
     summary and tail primitives instead.
+
+    ``bucket``: static scan length over GATHERED members (members are
+    argsort-gathered to the front in time order, padding slots at the
+    tail are pass-throughs). The Kalman/MNIW/RTS scans then cost
+    O(bucket) instead of O(N) — a birth-seed scoring pass over one
+    member runs a 1-ish-length scan rather than an N-length one. The
+    caller must guarantee bucket >= number of members. bucket=None
+    scans over all N.
     """
     limit = jnp.inf if est_limit is None else float(est_limit)
 
@@ -329,12 +337,20 @@ def build_refit(T: int, est_limit: Optional[int] = None,
         G0diag = jnp.mean(jnp.diag(state.Gamma_def))
         S0diag = jnp.mean(jnp.diag(state.Sigma_def))
 
+        member_full = resp > 0.99
+        B = N if bucket is None else min(bucket, N)
+        # gather members to the front, preserving time order
+        perm = jnp.argsort(jnp.logical_not(member_full), stable=True)
+        midx = perm[:B]                                   # (B,) times
+        Y_s = Y[midx]
+        m_s = member_full[midx].astype(Y.dtype)
+
         mniw0 = jax.tree.map(lambda a, b: jnp.stack([a, b]),
                              state.mniw_int, state.mniw_obs)
         carry0 = (state.f_last, state.P_last, state.f_prev, state.P_prev,
                   state.A, state.Gamma, state.C, state.Sigma,
                   mniw0, state.n, noise0, G0diag, S0diag)
-        carryF, emits = jax.lax.scan(forward_step, carry0, (Y, resp))
+        carryF, emits = jax.lax.scan(forward_step, carry0, (Y_s, m_s))
         if pair_smooth and not full_backward:
             (member, f_filt, P_filt, A_seq, G_seq, S_seq, score_mean,
              f_smp, P_smp) = emits
@@ -357,23 +373,18 @@ def build_refit(T: int, est_limit: Optional[int] = None,
             f_sm, P_sm = f_filt, P_filt
 
         # ---- emission scores (compute_sq_err_all parity) ----
-        memberi = member.astype(jnp.int32)
+        # emissions are per member SLOT (gathered order); samples map to
+        # slots via the member-position arithmetic of GPI_model.py:494-533
+        memberi = member_full.astype(jnp.int32)
         pos = jnp.cumsum(memberi) - 1                    # member pos per t
         n_members = jnp.sum(memberi)
-        mt = jnp.zeros((N + 1,), jnp.int32).at[
-            jnp.where(member, pos, N)].set(
-                jnp.arange(N, dtype=jnp.int32), mode="drop")
-        h_nonmember = jnp.maximum(pos, 1) - 1            # i_val - 1
-        gather_idx = jnp.where(member, jnp.arange(N, dtype=jnp.int32),
-                               mt[jnp.clip(h_nonmember, 0, N)])
-        gather_idx = jnp.clip(gather_idx, 0, N - 1)
+        slot_self = jnp.clip(pos, 0, B - 1)
+        slot_nonmember = jnp.clip(jnp.maximum(pos, 1) - 1, 0, B - 1)
+        gather_slot = jnp.where(member_full, slot_self, slot_nonmember)
 
-        # one batched Cholesky of the gathered score covariances (the
-        # scan emits S only; factorisation is amortised post-scan)
         eye = jnp.eye(T, dtype=dtype)
-        idx0 = jnp.clip(mt[0], 0, N - 1)
-        first_member = member & (pos == 0)
-        Sg = S_seq[gather_idx]                           # (N, T, T)
+        first_member = member_full & (pos == 0)
+        Sg = S_seq[gather_slot]                          # (N, T, T)
         # first-member covariance inflation (GPI_model.py:272)
         Sg = jnp.where(first_member[:, None, None],
                        Sg + (1e-2 * S0diag) * eye, Sg)
@@ -383,21 +394,24 @@ def build_refit(T: int, est_limit: Optional[int] = None,
             jnp.finfo(dtype).eps)
         Lg = jnp.linalg.cholesky(
             Sg + (1e-8 * diag_mean)[:, None, None] * eye)
-        mean_g = score_mean[gather_idx]                  # (N, T)
+        mean_g = score_mean[gather_slot]                 # (N, T)
         diff = (Y - mean_g)[..., None]
         sol = jax.scipy.linalg.solve_triangular(Lg, diff, lower=True)
         mahal = jnp.sum(sol[..., 0] ** 2, axis=1)
         q = -0.5 * mahal - 0.5 * T * LOG2PI
         q = jnp.where(n_members > 0, q, jnp.zeros_like(q))
 
-        # ---- latent scores (compute_q_lat_all parity) ----
+        # ---- latent scores (compute_q_lat_all parity), per slot then
+        # scattered back to time ----
+        member_s = m_s > 0.5
         if dynamic:
-            prev_idx = jnp.clip(mt[jnp.clip(pos - 1, 0, N)], 0, N - 1)
-            lat_cur = f_sm                                # (N, T, 1)
-            lat_prev = f_sm[prev_idx]
-            cov_prev = P_sm[prev_idx]
+            slots = jnp.arange(B)
+            prev_slot = jnp.clip(slots - 1, 0, B - 1)
+            lat_cur = f_sm                                # (B, T, 1)
+            lat_prev = f_sm[prev_slot]
+            cov_prev = P_sm[prev_slot]
             A_j, G_j = A_seq, G_seq
-            is_first = first_member[:, None, None]
+            is_first = (slots == 0)[:, None, None]
             lat_prev = jnp.where(is_first, f_sm, lat_prev)
             cov_prev = jnp.where(is_first, P_sm, cov_prev)
             A_j = jnp.where(is_first, A_f[None], A_j)
@@ -412,20 +426,21 @@ def build_refit(T: int, est_limit: Optional[int] = None,
                 Gjs + (1e-8 * gdiag)[:, None, None] * eye)
             sol2 = jax.scipy.linalg.solve_triangular(Lg2, resid, lower=True)
             mahal2 = jnp.sum(sol2[..., 0] ** 2, axis=1)
-            Ginv_A = jax.vmap(lambda L, B: jax.scipy.linalg.cho_solve(
-                (L, True), B))(Lg2, A_j)
-            # trace(A' G^-1 A P) = sum(A * (G^-1 A P))
+            Ginv_A = jax.vmap(lambda L, Bm: jax.scipy.linalg.cho_solve(
+                (L, True), Bm))(Lg2, A_j)
             trace = jnp.sum(A_j * (Ginv_A @ cov_prev), axis=(1, 2))
-            q_lat = -0.5 * (mahal2 + trace) - 0.5 * T * LOG2PI
-            q_lat = jnp.where(member & (n_members > 0), q_lat,
-                              jnp.zeros_like(q_lat))
+            q_lat_slot = -0.5 * (mahal2 + trace) - 0.5 * T * LOG2PI
+            q_lat_slot = jnp.where(member_s & (n_members > 0), q_lat_slot,
+                                   jnp.zeros_like(q_lat_slot))
+            q_lat = jnp.zeros((N,), dtype=dtype).at[midx].set(
+                q_lat_slot, mode="drop")
         else:
             q_lat = jnp.zeros((N,), dtype=dtype)
 
         # ---- SNR vs closest smoothed state (GPI_HDP.compute_snr) ----
         j_idx = jnp.clip(jnp.maximum(pos, 1), 1, jnp.maximum(n_members, 1))
-        snr_gather = jnp.clip(mt[j_idx - 1], 0, N - 1)
-        f_tgt = f_sm[snr_gather][..., 0]                 # (N, T)
+        snr_slot = jnp.clip(j_idx - 1, 0, B - 1)
+        f_tgt = f_sm[snr_slot][..., 0]                   # (N, T)
         num = jnp.sum(f_tgt**2, axis=1)
         den = jnp.sum((f_tgt - Y) ** 2, axis=1)
         snr = 10.0 * (jnp.log10(jnp.maximum(num, 1e-300))
@@ -433,9 +448,10 @@ def build_refit(T: int, est_limit: Optional[int] = None,
 
         # ---- compact state summary ----
         mb = n_members
-        idx_last = jnp.clip(mt[jnp.maximum(mb - 1, 0)], 0, N - 1)
-        idx_prev = jnp.clip(mt[jnp.maximum(mb - 2, 0)], 0, N - 1)
-        idx_prev2 = jnp.clip(mt[jnp.maximum(mb - 3, 0)], 0, N - 1)
+        idx_last = jnp.clip(mb - 1, 0, B - 1)
+        idx_prev = jnp.clip(mb - 2, 0, B - 1)
+        idx_prev2 = jnp.clip(mb - 3, 0, B - 1)
+        idx0 = 0
 
         def sel3(cond_pairs, default):
             out = default

@@ -189,16 +189,25 @@ class HDPGPC:
             float(self.cfg.gp.free_deg_mniw))
         return Cluster(st, fitted=False)
 
+    @staticmethod
+    def _bucket_for(n_members: int, N: int) -> Optional[int]:
+        """Smallest power-of-two scan bucket covering the member count
+        (the refit scans gathered members, not all N beats)."""
+        b = 32
+        while b < n_members:
+            b *= 2
+        return None if b >= N else b
+
     def _refit_prog(self, update_params=True, pair_smooth=True,
-                    full_backward=True):
-        key = (update_params, pair_smooth, full_backward)
+                    full_backward=True, bucket=None):
+        key = (update_params, pair_smooth, full_backward, bucket)
         if key not in self._refits:
             self._refits[key] = gplds.build_refit(
                 self.Tb, est_limit=self.cfg.gp.estimation_limit,
                 annealing=self.cfg.gp.annealing,
                 dynamic=self.cfg.gp.model_type == "dynamic",
                 update_params=update_params, pair_smooth=pair_smooth,
-                full_backward=full_backward)
+                full_backward=full_backward, bucket=bucket)
         return self._refits[key]
 
     def _maybe_kernel_fit(self, cl: Cluster, ld: int, Y: np.ndarray,
@@ -238,20 +247,23 @@ class HDPGPC:
                                         float(self.cfg.gp.free_deg_mniw))
         cl2 = Cluster(st, cl.fitted, cl.members)
         cl2 = self._maybe_kernel_fit(cl2, ld, Y, resp_col)
-        prog = self._refit_prog(update_params=update_params)
+        bucket = self._bucket_for(int(np.sum(resp_col > 0.99)),
+                                  Y.shape[0])
+        prog = self._refit_prog(update_params=update_params, bucket=bucket)
         res = prog(jnp.asarray(Y), jnp.asarray(resp_col), cl2.state)
         members = np.flatnonzero(resp_col > 0.99)
         out = Cluster(res.state, cl2.fitted, members)
         return (np.asarray(res.q), np.asarray(res.q_lat),
                 np.asarray(res.snr), out)
 
-    def _refit_prog_batched(self, update_params=True):
+    def _refit_prog_batched(self, update_params=True, bucket=None):
         """jit(vmap(refit)): run B cluster refits in ONE XLA call —
         batches the tiny (T, T) ops across clusters/leads so the MXU is
         fed (K, T, T) work instead of latency-bound single tiles."""
-        key = ("vmap", update_params)
+        key = ("vmap", update_params, bucket)
         if key not in self._refits:
-            inner = self._refit_prog(update_params=update_params)
+            inner = self._refit_prog(update_params=update_params,
+                                     bucket=bucket)
             self._refits[key] = jax.jit(jax.vmap(inner))
         return self._refits[key]
 
@@ -278,7 +290,10 @@ class HDPGPC:
                               *[c.state for c in prepped])
         Yb = jnp.asarray(np.stack([j[2] for j in jobs]))
         Rb = jnp.asarray(np.stack([j[3] for j in jobs]))
-        prog = self._refit_prog_batched(update_params=update_params)
+        max_members = max(int(np.sum(j[3] > 0.99)) for j in jobs)
+        bucket = self._bucket_for(max_members, Yb.shape[1])
+        prog = self._refit_prog_batched(update_params=update_params,
+                                        bucket=bucket)
         res = prog(Yb, Rb, states)
         qs = np.asarray(res.q)
         qls = np.asarray(res.q_lat)
@@ -857,7 +872,8 @@ class HDPGPC:
                                         float(self.cfg.gp.free_deg_mniw))
         cl2 = Cluster(st, cl.fitted, cl.members)
         resp_seed = np.zeros(Y.shape[0]); resp_seed[seed] = 1.0
-        prog = self._refit_prog(update_params=False)
+        prog = self._refit_prog(update_params=False,
+                                bucket=self._bucket_for(1, Y.shape[0]))
         res = prog(jnp.asarray(Y), jnp.asarray(resp_seed), cl2.state)
         return np.asarray(res.q), np.asarray(res.snr)
 

@@ -70,8 +70,10 @@ def build_stream_step(T: int, K: int):
     """One jitted chunk step: (state, Y (B, T)) -> (state', labels (B,))."""
 
     @jax.jit
-    def step(state: StreamState, Y: jax.Array
+    def step(state: StreamState, Y: jax.Array, mask: jax.Array
              ) -> Tuple[StreamState, jax.Array]:
+        """mask: (B,) 1.0 for real beats, 0.0 for padding (padding
+        neither advances the HMM message nor updates any cluster)."""
         B = Y.shape[0]
         dtype = Y.dtype
 
@@ -93,17 +95,19 @@ def build_stream_step(T: int, K: int):
                                 keepdims=True)).T
         PiT = jnp.where(PiT < 1e-6, PiT + 1e-4, PiT)
 
-        def fwd(fm, lq):
+        def fwd(fm, inp):
+            lq, mk = inp
             ev = jnp.exp(lq - jnp.max(lq))
             fm2 = (PiT @ fm) * ev
             fm2 = fm2 / jnp.sum(fm2)
+            fm2 = jnp.where(mk > 0.5, fm2, fm)
             return fm2, fm2
 
-        fmsg_last, fms = jax.lax.scan(fwd, state.fmsg, logq)
+        fmsg_last, fms = jax.lax.scan(fwd, state.fmsg, (logq, mask))
         labels = jnp.argmax(fms, axis=1)                  # (B,)
 
         # --- per-cluster posterior update over assigned beats ---
-        onehot = jax.nn.one_hot(labels, K, dtype=dtype)   # (B, K)
+        onehot = jax.nn.one_hot(labels, K, dtype=dtype) * mask[:, None]
 
         def update_cluster(k, f_k, P_k):
             w = onehot[:, k]
@@ -151,6 +155,7 @@ def stream_classify(state: StreamState, Y: np.ndarray, chunk: int = 4096):
         if block.shape[0] < chunk:
             block = np.pad(block, ((0, chunk - block.shape[0]), (0, 0)),
                            mode="edge")
-        state, lab = step(state, jnp.asarray(block))
+        mask = np.zeros(chunk); mask[: e - s] = 1.0
+        state, lab = step(state, jnp.asarray(block), jnp.asarray(mask))
         labels[s:e] = np.asarray(lab)[: e - s]
     return state, labels

@@ -1,0 +1,57 @@
+"""End-to-end online streaming VI on synthetic beats (reference
+tests/test_online.py shape)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from hdpgpc_tpu.data.loader import default_x_basis, synthetic_beats
+from hdpgpc_tpu.data.priors import compute_estimators_lds
+
+
+@pytest.mark.slow
+def test_online_stream_recovers_clusters():
+    from hdpgpc_tpu.models.hdpgpc import HDPGPC
+    T, N = 24, 30
+    y, z = synthetic_beats(N, T=T, n_clusters=2, noise=0.03, seed=4)
+    std, std_dif, bs, bg = compute_estimators_lds(y)
+    m = HDPGPC(default_x_basis(T), n_outputs=1, ini_gamma=std_dif,
+               ini_sigma=std, ini_outputscale=10.0, bound_sigma=bs,
+               bound_gamma=bg, max_models=100)
+    m.cfg = dataclasses.replace(
+        m.cfg, gp=dataclasses.replace(m.cfg.gp, kernel_fit_iters=200))
+    x = np.arange(T, dtype=np.float64)
+    for i in range(N):
+        m.include_sample(x, y[i], with_warp=False)
+    assert m.T_count == N
+    labels = m.resp_assigned[-1]
+    err = sum(int(np.sum(z[labels == k]
+                         != np.bincount(z[labels == k]).argmax()))
+              for k in np.unique(labels))
+    assert err / N < 0.25, f"online clustering error {err}/{N}"
+    # caches consistent
+    assert m.q_last.shape[0] == N
+    assert m.resp_last.shape == (N, m.M)
+
+
+@pytest.mark.slow
+def test_reload_and_classify():
+    from hdpgpc_tpu.models.hdpgpc import HDPGPC
+    T = 24
+    y_all, z_all = synthetic_beats(60, T=T, n_clusters=3, noise=0.03,
+                                   seed=1)
+    y, z = y_all[:40], z_all[:40]
+    y2, z2 = y_all[40:], z_all[40:]
+    std, std_dif, bs, bg = compute_estimators_lds(y)
+    m = HDPGPC(default_x_basis(T), n_outputs=1, ini_gamma=std_dif,
+               ini_sigma=std, ini_outputscale=10.0, bound_sigma=bs,
+               bound_gamma=bg)
+    m.cfg = dataclasses.replace(
+        m.cfg, gp=dataclasses.replace(m.cfg.gp, kernel_fit_iters=200))
+    x = np.tile(np.arange(T, dtype=np.float64), (40, 1))
+    m.reload_model_from_labels(x, y, z, M=3)
+    pred = m.cluster_new_batch(np.tile(np.arange(T, dtype=np.float64),
+                                       (20, 1)), y2)
+    acc = float(np.mean(pred == z2))
+    assert acc > 0.9, f"classification accuracy {acc}"
