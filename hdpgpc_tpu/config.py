@@ -99,6 +99,10 @@ class ModelConfig:
     share_gp: bool = False
     n_explore_steps: int = 10
     reestimate_initial_params: bool = False
+    # 'float64' for reference parity (default); 'float32' is the v5e
+    # speed mode — f64 is emulated on TPU, f32 is native. Cluster
+    # decisions can differ slightly in f32.
+    compute_dtype: str = "float64"
     hdp: HDPConfig = dataclasses.field(default_factory=HDPConfig)
     gp: GPConfig = dataclasses.field(default_factory=GPConfig)
     warp: WarpConfig = dataclasses.field(default_factory=WarpConfig)

@@ -92,3 +92,61 @@ def synthetic_beats(n: int, T: int = 90, n_clusters: int = 4,
             -0.5 * ((t[None, :] - centers[:, None] - shift) / widths[:, None]) ** 2)
         beats[:, :, ld] = tmpl[z] + noise * rng.standard_normal((n, T))
     return beats.astype(np.float64), z
+
+
+def segment_beats(signal: np.ndarray, annotations: np.ndarray,
+                  window=(60, 150), r_offset: int = 87,
+                  scale_type: str = "mean") -> np.ndarray:
+    """Segment a continuous multi-lead signal into beat windows around
+    annotation samples (the reference's extraction recipe,
+    get_data.py:184-203 / extract_data.py:24: window [lo, hi] relative
+    to annotation - r_offset; per-beat mean subtraction for
+    scale_type='mean').
+
+    signal: (n_samples, n_leads); annotations: (n_beats,) R-peak sample
+    indices. Returns (n_kept, hi - lo, n_leads) float64.
+    """
+    signal = np.atleast_2d(np.asarray(signal, np.float64))
+    if signal.shape[0] < signal.shape[1]:
+        signal = signal.T
+    lo, hi = window
+    beats = []
+    for a in np.asarray(annotations, np.int64):
+        s = a - r_offset + lo
+        e = a - r_offset + hi
+        if s < 0 or e > signal.shape[0]:
+            continue
+        b = signal[s:e].copy()
+        if scale_type == "mean":
+            b -= b.mean(axis=0)
+        elif scale_type == "single":
+            sd = b.std(axis=0)
+            b = (b - b.mean(axis=0)) / np.where(sd == 0, 1.0, sd)
+        beats.append(b)
+    return np.asarray(beats, np.float64)
+
+
+def signaltonoise(a: np.ndarray, axis: int = 0, ddof: int = 0) -> np.ndarray:
+    """Mean^2 / var SNR (get_data.signaltonoise, get_data.py:243-248)."""
+    a = np.asanyarray(a)
+    m = a.mean(axis) ** 2
+    sd = a.std(axis=axis, ddof=ddof) ** 2
+    return np.where(sd == 0, 0, m / sd)
+
+
+def rolling_snr(signal: np.ndarray, window_size: int) -> float:
+    """Windowed SNR in dB (get_data.rolling_snr, get_data.py:235-241;
+    GPI_HDP.rolling_snr, GPI_HDP.py:673-683) without pandas."""
+    x = np.asarray(signal, np.float64)
+    n = x.shape[0] - window_size + 1
+    if n <= 1:
+        return 0.0
+    c = np.cumsum(np.insert(x, 0, 0.0))
+    means = (c[window_size:] - c[:-window_size]) / window_size
+    c2 = np.cumsum(np.insert(x * x, 0, 0.0))
+    var = (c2[window_size:] - c2[:-window_size]) / window_size - means**2
+    stds = np.sqrt(np.maximum(var * window_size / (window_size - 1), 0))
+    mean_m = means[1:].mean()
+    mean_s = stds[1:].mean()
+    return float(10.0 * np.log10((mean_m**2)
+                                 / max(mean_s**2, np.finfo(float).eps)))

@@ -589,3 +589,73 @@ def q_lat_tail(state: ClusterState, h_ini: float = 1.0):
     val_last = score(state.f_sm_last, state.f_sm_prev, state.P_sm_prev,
                      state.A, state.Gamma)
     return val_first, val_prev, val_last
+
+
+# ---------------------------------------------------------------------------
+# GP observation / resampling APIs (IterativeGaussianProcess surface)
+# ---------------------------------------------------------------------------
+
+def observe(state: ClusterState, x_post: jax.Array, x_basis: jax.Array,
+            use_smoothed: bool = False):
+    """Resample the emission distribution at arbitrary inputs x_post via
+    the GP projection K(x*, X) K(X, X)^-1 (GPI.pred_dist,
+    GPI.py:457-503). On the shared grid this reduces to
+    (C f, Sigma)."""
+    from hdpgpc_tpu.ops.kernels import gram
+    f = state.f_sm_last if use_smoothed else state.f_last
+    mean = state.C @ f
+    x_post = x_post.reshape(-1)
+    x_basis = x_basis.reshape(-1)
+    if x_post.shape[0] == x_basis.shape[0]:
+        same = jnp.all(x_post == x_basis)
+    else:
+        same = jnp.asarray(False)
+    K_XX = gram(state.theta, x_basis[:, None], x_basis[:, None])
+    K_XXs = gram(state.theta, x_basis[:, None], x_post[:, None])
+    K_XsXs = gram(state.theta, x_post[:, None], include_noise=True)
+    jitter = 1e-4 * jnp.maximum(
+        jnp.mean(jnp.abs(jnp.diag(state.Sigma))),
+        jnp.finfo(mean.dtype).eps)
+    L = jnp.linalg.cholesky(
+        0.5 * (K_XX + K_XX.T) + jitter * jnp.eye(K_XX.shape[0],
+                                                 dtype=mean.dtype))
+    K_solve = jax.scipy.linalg.cho_solve((L, True), K_XXs)
+    f_star = K_solve.T @ mean
+    cov_f = K_XsXs - K_XXs.T @ K_solve \
+        + K_solve.T @ state.Sigma @ K_solve
+    cov_f = 0.5 * (cov_f + cov_f.T) \
+        + 1e-6 * jnp.eye(cov_f.shape[0], dtype=mean.dtype)
+    if x_post.shape[0] == x_basis.shape[0]:
+        f_star = jnp.where(same, mean, f_star)
+        cov_f = jnp.where(same, state.Sigma, cov_f)
+    return f_star, cov_f
+
+
+def sample_observations(state: ClusterState, key, n_samples: int = 1):
+    """Draw beats from the cluster's current observation distribution
+    y ~ N(C f_sm, C P_sm C' + Sigma) (GPI.sample_y, GPI.py:564-608 /
+    GPI_model.sample_last, :953-961)."""
+    mean = (state.C @ state.f_sm_last)[:, 0]
+    cov = state.C @ state.P_sm_last @ state.C.T + state.Sigma
+    cov = 0.5 * (cov + cov.T)
+    L = linalg.chol_spd(cov)
+    z = jax.random.normal(key, (n_samples, mean.shape[0]), mean.dtype)
+    return mean[None, :] + z @ L.T
+
+
+def kl_divergence(state_a: ClusterState, state_b: ClusterState) -> jax.Array:
+    """Symmetric KL between two clusters' observation distributions
+    (GPI.KL_divergence, GPI.py:1058-1094)."""
+    def moments(st):
+        mu = (st.C @ st.f_sm_last)[:, 0]
+        cov = st.C @ st.P_sm_last @ st.C.T + st.Sigma
+        return mu, 0.5 * (cov + cov.T)
+
+    mu1, c1 = moments(state_a)
+    mu2, c2 = moments(state_b)
+    ic1 = linalg.inv_spd(c1)
+    ic2 = linalg.inv_spd(c2)
+    tr = (jnp.trace(ic2 @ c1 + ic1 @ c2) - 2 * c1.shape[0]) / 4.0
+    d = mu1 - mu2
+    first = jnp.dot(d, (ic1 + ic2) @ d) / 4.0
+    return first + tr

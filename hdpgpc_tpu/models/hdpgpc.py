@@ -91,7 +91,7 @@ class HDPGPC:
                  reestimate_initial_params: bool = False,
                  n_explore_steps: int = 10, free_deg_MNIV: int = 5,
                  share_gp: bool = False, use_snr: bool = True,
-                 hdp_hyp: str = "balanced",
+                 hdp_hyp: str = "balanced", compute_dtype: str = "float64",
                  config: Optional[ModelConfig] = None, **_ignored):
         if config is None:
             hdp = HDPConfig.preset(hdp_hyp)
@@ -117,8 +117,11 @@ class HDPGPC:
                 bayesian_params=bayesian_params, use_snr=use_snr,
                 share_gp=share_gp, n_explore_steps=n_explore_steps,
                 reestimate_initial_params=reestimate_initial_params,
+                compute_dtype=compute_dtype,
                 hdp=hdp, gp=gp_cfg, warp=warp_cfg, verbose=verbose)
         self.cfg = config
+        self.dtype = jnp.float32 if config.compute_dtype == "float32" \
+            else jnp.float64
         self.verbose = config.verbose
         self.n_outputs = config.n_outputs
         self.M = config.initial_clusters
@@ -186,7 +189,7 @@ class HDPGPC:
         st = gplds.init_cluster_state(
             jnp.asarray(self.x_basis), self._default_theta(),
             self._def_gamma, self._def_sigma,
-            float(self.cfg.gp.free_deg_mniw))
+            float(self.cfg.gp.free_deg_mniw), dtype=self.dtype)
         return Cluster(st, fitted=False)
 
     @staticmethod
@@ -250,7 +253,8 @@ class HDPGPC:
         bucket = self._bucket_for(int(np.sum(resp_col > 0.99)),
                                   Y.shape[0])
         prog = self._refit_prog(update_params=update_params, bucket=bucket)
-        res = prog(jnp.asarray(Y), jnp.asarray(resp_col), cl2.state)
+        res = prog(jnp.asarray(Y, self.dtype),
+                   jnp.asarray(resp_col, self.dtype), cl2.state)
         members = np.flatnonzero(resp_col > 0.99)
         out = Cluster(res.state, cl2.fitted, members)
         return (np.asarray(res.q), np.asarray(res.q_lat),
@@ -288,8 +292,8 @@ class HDPGPC:
             prepped.append(c2)
         states = jax.tree.map(lambda *xs: jnp.stack(xs),
                               *[c.state for c in prepped])
-        Yb = jnp.asarray(np.stack([j[2] for j in jobs]))
-        Rb = jnp.asarray(np.stack([j[3] for j in jobs]))
+        Yb = jnp.asarray(np.stack([j[2] for j in jobs]), self.dtype)
+        Rb = jnp.asarray(np.stack([j[3] for j in jobs]), self.dtype)
         max_members = max(int(np.sum(j[3] > 0.99)) for j in jobs)
         bucket = self._bucket_for(max_members, Yb.shape[1])
         prog = self._refit_prog_batched(update_params=update_params,
@@ -356,23 +360,34 @@ class HDPGPC:
                                              jitter=1e-5)
         return startPi, transPi
 
-    @staticmethod
-    def _expand_pis(startPi, transPi, K):
-        """Pad to K columns with -inf (compute_trans_A/_pi,
-        GPI_HDP.py:3527-3543)."""
-        Mp = transPi.shape[0]
-        if Mp == K:
-            return startPi, transPi
+    def _trans_log_pi_for_K(self, K: int) -> np.ndarray:
+        """The reference's forward/backward/coupled recompute the
+        transition matrix INSIDE the message passing from the current
+        transTheta at size K (compute_trans_A, GPI_HDP.py:3527-3535,
+        invoked at :3580, :3637, :3686), with the digamma-of-row-sum
+        denominator — the matrix passed in is ignored. A birth
+        candidate's new column therefore receives the stick's remainder
+        mass instead of -inf."""
+        Mt = self.glob.trans_theta.shape[0]
+        Me = min(K, Mt)
+        content = sb.trans_log_pi_from_theta(self.glob.trans_theta, Me,
+                                             log_sum_exp_form=False)
+        if Me == K:
+            return content
         tp = np.full((K, K), -np.inf)
-        tp[:Mp, :Mp] = transPi[:, :Mp]
-        sp = np.full((K,), -np.inf)
-        sp[:min(Mp, K)] = startPi[:min(Mp, K)]
-        return sp, tp
+        tp[:Me, :Me] = content
+        return tp
 
-    def _fb(self, q_w: np.ndarray, startPi, transPi):
-        """Hard FB (variational local step). q_w: (N, K) fused logs."""
+    def _fb(self, q_w: np.ndarray, startPi, transPi=None):
+        """Hard FB (variational local step). q_w: (N, K) fused logs.
+        ``transPi`` is accepted for signature parity but, as in the
+        reference, the matrix actually used is rebuilt from theta at
+        the current K."""
         K = q_w.shape[1]
-        sp, tp = self._expand_pis(np.asarray(startPi), np.asarray(transPi), K)
+        sp = np.full((K,), -np.inf)
+        spn = np.asarray(startPi)
+        sp[:min(spn.shape[0], K)] = spn[:min(spn.shape[0], K)]
+        tp = self._trans_log_pi_for_K(K)
         resp, logresp, respPair, logrespPair = hmm_ops.fb_hard(
             jnp.asarray(sp), jnp.asarray(tp), jnp.asarray(q_w))
         return (np.asarray(resp), np.asarray(logresp),
@@ -874,7 +889,8 @@ class HDPGPC:
         resp_seed = np.zeros(Y.shape[0]); resp_seed[seed] = 1.0
         prog = self._refit_prog(update_params=False,
                                 bucket=self._bucket_for(1, Y.shape[0]))
-        res = prog(jnp.asarray(Y), jnp.asarray(resp_seed), cl2.state)
+        res = prog(jnp.asarray(Y, self.dtype),
+                   jnp.asarray(resp_seed, self.dtype), cl2.state)
         return np.asarray(res.q), np.asarray(res.snr)
 
     @staticmethod
@@ -1332,7 +1348,8 @@ class HDPGPC:
         cl = self._maybe_kernel_fit_online(cl, ld, y)
         prog = self._refit_prog(update_params=True, pair_smooth=False,
                                 full_backward=False)
-        res = prog(jnp.asarray(y[None, :]), jnp.asarray(resp1), cl.state)
+        res = prog(jnp.asarray(y[None, :], self.dtype),
+                   jnp.asarray(resp1, self.dtype), cl.state)
         members = np.append(cl.members, t)
         return Cluster(res.state, cl.fitted, members)
 
@@ -1360,8 +1377,8 @@ class HDPGPC:
         cl = self._maybe_kernel_fit_online(cl, ld, y)
         prog = self._refit_prog(update_params=True, pair_smooth=True,
                                 full_backward=False)
-        res = prog(jnp.asarray(y[None, :]), jnp.asarray(np.ones(1)),
-                   cl.state)
+        res = prog(jnp.asarray(y[None, :], self.dtype),
+                   jnp.asarray(np.ones(1), self.dtype), cl.state)
         return Cluster(res.state, cl.fitted, np.append(cl.members, t))
 
     def _patch_q_lat_col(self, col: np.ndarray, cl: Cluster,

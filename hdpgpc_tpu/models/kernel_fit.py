@@ -110,3 +110,48 @@ def fit_kernel(x_basis, y, bound_sigma: Tuple[float, float],
     return KernelParams(outputscale=s,
                         lengthscale=jnp.asarray(pin_lengthscale, x.dtype),
                         noise=n)
+
+
+def fit_kernel_scipy(x_basis, y, bound_sigma, bounds_lengthscale=(1.0, 20.0),
+                     bounds_outputscale=(1e-2, 1e3),
+                     n_restarts: int = 0, seed: int = 0) -> KernelParams:
+    """L-BFGS-B marginal-likelihood fit in log-theta space — the
+    reference's legacy scipy path (GPI.fit / _constrained_optimization,
+    GPI.py:772-876, :1114-1132) with optional random restarts."""
+    import numpy as np
+    import scipy.optimize
+
+    x = np.asarray(x_basis, np.float64).reshape(-1)
+    yv = np.asarray(y, np.float64).reshape(-1)
+    T = x.shape[0]
+    d2 = (x[:, None] - x[None, :]) ** 2
+
+    def nll(log_theta):
+        s, l, n = np.exp(log_theta)
+        K = s * np.exp(-0.5 * d2 / (l * l)) + n * np.eye(T)
+        try:
+            L = np.linalg.cholesky(K)
+        except np.linalg.LinAlgError:
+            return np.inf
+        a = np.linalg.solve(L, yv)
+        return float(0.5 * a @ a + np.sum(np.log(np.diag(L)))
+                     + 0.5 * T * np.log(2 * np.pi))
+
+    bounds = [np.log(bounds_outputscale), np.log(bounds_lengthscale),
+              np.log(bound_sigma)]
+    inits = [np.array([np.log(1.0), np.log(3.0),
+                       np.log(np.sqrt(bound_sigma[0] * bound_sigma[1]))])]
+    rng = np.random.default_rng(seed)
+    for _ in range(n_restarts):
+        inits.append(np.array([rng.uniform(*b) for b in bounds]))
+    best = None
+    for x0 in inits:
+        r = scipy.optimize.minimize(nll, x0, method="L-BFGS-B",
+                                    bounds=bounds,
+                                    options={"maxiter": 50000})
+        if best is None or r.fun < best.fun:
+            best = r
+    s, l, n = np.exp(best.x)
+    return KernelParams(outputscale=jnp.asarray(s),
+                        lengthscale=jnp.asarray(l),
+                        noise=jnp.asarray(n))

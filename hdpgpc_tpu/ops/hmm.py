@@ -131,10 +131,15 @@ def fb_hard(start_log_pi, trans_log_pi, log_q):
     beta = backward(trans_log_pi, q_norm)
     logresp, _ = row_normalize_log(jnp.log(alpha * beta), axis=1)
     lrp = coupled_pair_log(alpha, beta, trans_log_pi, q_norm)
-    # Reference normalises respPair with LogLik(axis=1): per (row, col)
-    # matrix rows — max over axis=1 of the (N, K, K) tensor.
+    # The reference wraps the pair tensor in LogLik(axis=1), but its
+    # isinf early-return (GPI_HDP.py:647-648) ALWAYS fires — row 0 of
+    # coupled_state_coef is log(0) = -inf — so the tensor used is the
+    # raw globally-normalised log respPair, and the hard one-hot is its
+    # flat argmax (the true transition pair). Reproduce that exactly,
+    # with the conditional kept for safety.
     c = jnp.max(lrp, axis=1, keepdims=True)
-    logrespPair = lrp - c
+    any_inf = jnp.any(jnp.isinf(c))
+    logrespPair = jnp.where(any_inf, lrp, lrp - c)
     return hard_resp(logresp), logresp, hard_resp_pair(logrespPair), logrespPair
 
 
@@ -144,3 +149,19 @@ def entropy_terms(resp, respPair, eps=1e-30):
     sigma = respPair / (jnp.sum(respPair, axis=2, keepdims=True) + eps) + eps
     Htable = -jnp.sum(respPair * jnp.log(sigma), axis=0)
     return jnp.sum(Htable) + jnp.sum(Hstart)
+
+
+def baum_welch(alpha, beta, trans_log_pi, log_q, eps=1e-300):
+    """Classical ML re-estimation of (pi, A) from messages — the
+    reference's legacy non-HDP path (GPI_HDP.baum_welch,
+    GPI_HDP.py:3864-3931). Returns (log_pi, log_A)."""
+    alpha = jnp.asarray(alpha)
+    beta = jnp.asarray(beta)
+    gamma = alpha * beta
+    gamma = gamma / jnp.maximum(jnp.sum(gamma, axis=1, keepdims=True), eps)
+    log_pi = jnp.log(jnp.maximum(gamma[0], eps))
+    lrp = coupled_pair_log(alpha, beta, trans_log_pi, log_q)
+    xi = jnp.exp(lrp)
+    num = jnp.sum(xi[1:], axis=0)                 # (K, K)
+    den = jnp.maximum(jnp.sum(num, axis=1, keepdims=True), eps)
+    return log_pi, jnp.log(jnp.maximum(num / den, eps))
