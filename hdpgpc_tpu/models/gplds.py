@@ -136,15 +136,18 @@ def reinit_cluster_state(st: ClusterState, free_deg: float) -> ClusterState:
 def apply_kernel_fit(st: ClusterState, x_basis, theta: KernelParams
                      ) -> ClusterState:
     """Post-kernel-fit state rewrite (GPI_model.fit_kernel_params,
-    GPI_model.py:207-241): Sigma <- noise*I (also as the new default),
-    Gamma <- mean(diag(Gamma))*I, A = C = I, zero mean, cov = new gram;
-    MNIW anchors re-set."""
+    GPI_model.py:207-241): Sigma <- ini_sigma*I — NOTE the reference
+    discards the fitted noise here (``noise = alph_`` overwrites it at
+    GPI_model.py:215-216; the fitted noise survives only inside the
+    kernel, i.e. in the first-step innovation covariance) — also as the
+    new default; Gamma <- mean(diag(Gamma))*I, A = C = I, zero mean,
+    cov = new gram; MNIW anchors re-set."""
     T = st.A.shape[0]
     dtype = st.A.dtype
     eye = jnp.eye(T, dtype=dtype)
     theta = KernelParams(*[jnp.asarray(v, dtype) for v in theta])
     K0 = gram(theta, x_basis, x_basis, include_noise=False).astype(dtype)
-    S = theta.noise * eye
+    S = st.Sigma[0, 0] * eye
     G = jnp.mean(jnp.diag(st.Gamma)) * eye
     z = jnp.zeros((T, 1), dtype=dtype)
     return st._replace(
