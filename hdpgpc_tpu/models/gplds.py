@@ -223,8 +223,15 @@ def build_refit(T: int, est_limit: Optional[int] = None,
         y_pred = jnp.where(first, jnp.zeros_like(m), C @ m)
         R = jnp.where(first, noise0 * eye, S)
         S_innov = C @ P_pred_kal @ C.T + R
-        facs = jnp.linalg.cholesky(jnp.stack([
-            0.5 * (S_innov + S_innov.T), 0.5 * (P_pred_dyn + P_pred_dyn.T)]))
+        stacked = jnp.stack([
+            0.5 * (S_innov + S_innov.T), 0.5 * (P_pred_dyn + P_pred_dyn.T)])
+        if dtype == jnp.float32:
+            # float32 speed mode: TPU cholesky NaNs on near-singular
+            # inputs that CPU/f64 tolerate; add a relative jitter.
+            dmean = jnp.maximum(jnp.mean(jnp.abs(jnp.diagonal(
+                stacked, axis1=1, axis2=2)), axis=1), 1e-30)
+            stacked = stacked + (1e-5 * dmean)[:, None, None] * eye
+        facs = jnp.linalg.cholesky(stacked)
         L_S, L_Pp = facs[0], facs[1]
         # K = P_pred C' S^{-1}
         K = jax.scipy.linalg.cho_solve((L_S, True), (P_pred_kal @ C.T).T).T
@@ -249,23 +256,40 @@ def build_refit(T: int, est_limit: Optional[int] = None,
             # dim 2 = {internal, observation}); math of
             # GPI_model.matrix_normal_inv_wishart.posterior with zeroed
             # covariances (GPI_model.py:1300-1344, n_k == 1 form).
-            Y1 = jnp.stack([f_up, y[:, None]])            # (2, T, 1)
-            Y2 = jnp.stack([f_reg, f_up])
-            Vm = mniw.row_cov                              # (2, T, T)
+            # The row-covariance recursion (rank-1 accumulation + tiny
+            # inverse) is intrinsically ill-conditioned, so its solves
+            # run in an f64 island even in float32 speed mode.
+            hp = jnp.float64 if dtype == jnp.float64 else jnp.float32
+            Y1 = jnp.stack([f_up, y[:, None]]).astype(hp)  # (2, T, 1)
+            Y2 = jnp.stack([f_reg, f_up]).astype(hp)
+            Vm = mniw.row_cov.astype(hp)                   # (2, T, T)
+            eye_h = eye.astype(hp)
             jit2 = 1e-2 * jnp.maximum(
                 jnp.mean(jnp.abs(jnp.diagonal(mniw.scale, axis1=1, axis2=2)),
-                         axis=1), jnp.finfo(dtype).eps)    # (2,)
+                         axis=1), jnp.finfo(dtype).eps).astype(hp)  # (2,)
+            if dtype == jnp.float32:
+                vj = jnp.maximum(jnp.mean(jnp.abs(jnp.diagonal(
+                    Vm, axis1=1, axis2=2)), axis=1), 1e-30)
+                jit2 = jit2 + 1e-5 * vj
             L_V = jnp.linalg.cholesky(
                 0.5 * (Vm + Vm.swapaxes(-1, -2))
-                + jit2[:, None, None] * eye)
-            V_inv = jax.scipy.linalg.cho_solve((L_V, True),
-                                               jnp.broadcast_to(eye, Vm.shape))
-            S__ = Y2 @ Y2.swapaxes(-1, -2) + V_inv
-            S_x = Y1 @ Y2.swapaxes(-1, -2) + mniw.mean @ V_inv
-            L_S2 = jnp.linalg.cholesky(
-                0.5 * (S__ + S__.swapaxes(-1, -2)) + 1e-8 * eye)
+                + jit2[:, None, None] * eye_h)
+            V_inv = jax.scipy.linalg.cho_solve(
+                (L_V, True), jnp.broadcast_to(eye_h, Vm.shape))
+            S__h = Y2 @ Y2.swapaxes(-1, -2) + V_inv
+            S_x = Y1 @ Y2.swapaxes(-1, -2) + mniw.mean.astype(hp) @ V_inv
+            S__sym = 0.5 * (S__h + S__h.swapaxes(-1, -2))
+            if dtype == jnp.float32:
+                sj = jnp.maximum(jnp.mean(jnp.abs(jnp.diagonal(
+                    S__sym, axis1=1, axis2=2)), axis=1), 1e-30)
+                S__sym = S__sym + (1e-9 * sj)[:, None, None] * eye_h
+            L_S2 = jnp.linalg.cholesky(S__sym + 1e-8 * eye_h)
             part = jax.scipy.linalg.cho_solve(
-                (L_S2, True), S_x.swapaxes(-1, -2)).swapaxes(-1, -2)
+                (L_S2, True), S_x.swapaxes(-1, -2)).swapaxes(-1, -2) \
+                .astype(dtype)
+            S__ = S__h                     # row_cov stays f64 in the carry
+            Y1 = Y1.astype(dtype)
+            Y2 = Y2.astype(dtype)
             n0 = mniw.n0                                   # (2,)
             new_n0 = n0 + 1.0
             c0 = ((n0 - 2.0) / (new_n0 - 2.0))[:, None, None]
@@ -350,6 +374,9 @@ def build_refit(T: int, est_limit: Optional[int] = None,
 
         mniw0 = jax.tree.map(lambda a, b: jnp.stack([a, b]),
                              state.mniw_int, state.mniw_obs)
+        if Y.dtype == jnp.float64:
+            mniw0 = mniw0._replace(
+                row_cov=mniw0.row_cov.astype(jnp.float64))
         carry0 = (state.f_last, state.P_last, state.f_prev, state.P_prev,
                   state.A, state.Gamma, state.C, state.Sigma,
                   mniw0, state.n, noise0, G0diag, S0diag)
@@ -387,21 +414,37 @@ def build_refit(T: int, est_limit: Optional[int] = None,
 
         eye = jnp.eye(T, dtype=dtype)
         first_member = member_full & (pos == 0)
-        Sg = S_seq[gather_slot]                          # (N, T, T)
-        # first-member covariance inflation (GPI_model.py:272)
-        Sg = jnp.where(first_member[:, None, None],
-                       Sg + (1e-2 * S0diag) * eye, Sg)
-        Sg = 0.5 * (Sg + Sg.swapaxes(-1, -2))
-        diag_mean = jnp.maximum(
-            jnp.mean(jnp.abs(jnp.diagonal(Sg, axis1=1, axis2=2)), axis=1),
-            jnp.finfo(dtype).eps)
-        Lg = jnp.linalg.cholesky(
-            Sg + (1e-8 * diag_mean)[:, None, None] * eye)
-        mean_g = score_mean[gather_slot]                 # (N, T)
-        diff = (Y - mean_g)[..., None]
-        sol = jax.scipy.linalg.solve_triangular(Lg, diff, lower=True)
-        mahal = jnp.sum(sol[..., 0] ** 2, axis=1)
-        q = -0.5 * mahal - 0.5 * T * LOG2PI
+
+        # Scoring materialises one (T, T) covariance per sample; chunk it
+        # so the peak footprint stays ~CHUNK*T^2 regardless of N (the
+        # unchunked gather at (N, T, T) x batched jobs can exhaust HBM).
+        CHUNK = 256
+        n_pad = (-N) % CHUNK
+        slot_p = jnp.pad(gather_slot, (0, n_pad))
+        first_p = jnp.pad(first_member, (0, n_pad))
+        Y_p = jnp.pad(Y, ((0, n_pad), (0, 0)))
+        mean_all = score_mean  # (B, T)
+
+        def score_chunk(args):
+            sl, fm, Yc = args
+            Sg = S_seq[sl]
+            Sg = jnp.where(fm[:, None, None], Sg + (1e-2 * S0diag) * eye,
+                           Sg)
+            Sg = 0.5 * (Sg + Sg.swapaxes(-1, -2))
+            dm = jnp.maximum(
+                jnp.mean(jnp.abs(jnp.diagonal(Sg, axis1=1, axis2=2)),
+                         axis=1), jnp.finfo(dtype).eps)
+            Lg = jnp.linalg.cholesky(Sg + (1e-8 * dm)[:, None, None] * eye)
+            diff = (Yc - mean_all[sl])[..., None]
+            sol = jax.scipy.linalg.solve_triangular(Lg, diff, lower=True)
+            return -0.5 * jnp.sum(sol[..., 0] ** 2, axis=1) \
+                - 0.5 * T * LOG2PI
+
+        nc = (N + n_pad) // CHUNK
+        q = jax.lax.map(score_chunk,
+                        (slot_p.reshape(nc, CHUNK),
+                         first_p.reshape(nc, CHUNK),
+                         Y_p.reshape(nc, CHUNK, T))).reshape(-1)[:N]
         q = jnp.where(n_members > 0, q, jnp.zeros_like(q))
 
         # ---- latent scores (compute_q_lat_all parity), per slot then
@@ -420,19 +463,35 @@ def build_refit(T: int, est_limit: Optional[int] = None,
             A_j = jnp.where(is_first, A_f[None], A_j)
             G_j = jnp.where(is_first, G_f[None], G_j)
 
+            def lat_chunk(args):
+                rc, Gc, Ac, Pc = args
+                Gjs = 0.5 * (Gc + Gc.swapaxes(-1, -2))
+                gd = jnp.maximum(
+                    jnp.mean(jnp.abs(jnp.diagonal(Gjs, axis1=1, axis2=2)),
+                             axis=1), jnp.finfo(dtype).eps)
+                L2 = jnp.linalg.cholesky(
+                    Gjs + (1e-8 * gd)[:, None, None] * eye)
+                s2 = jax.scipy.linalg.solve_triangular(L2, rc, lower=True)
+                mh = jnp.sum(s2[..., 0] ** 2, axis=1)
+                GA = jax.vmap(lambda L, Bm: jax.scipy.linalg.cho_solve(
+                    (L, True), Bm))(L2, Ac)
+                tr = jnp.sum(Ac * (GA @ Pc), axis=(1, 2))
+                return -0.5 * (mh + tr) - 0.5 * T * LOG2PI
+
             resid = lat_cur - A_j @ lat_prev
-            Gjs = 0.5 * (G_j + G_j.swapaxes(-1, -2))
-            gdiag = jnp.maximum(
-                jnp.mean(jnp.abs(jnp.diagonal(Gjs, axis1=1, axis2=2)),
-                         axis=1), jnp.finfo(dtype).eps)
-            Lg2 = jnp.linalg.cholesky(
-                Gjs + (1e-8 * gdiag)[:, None, None] * eye)
-            sol2 = jax.scipy.linalg.solve_triangular(Lg2, resid, lower=True)
-            mahal2 = jnp.sum(sol2[..., 0] ** 2, axis=1)
-            Ginv_A = jax.vmap(lambda L, Bm: jax.scipy.linalg.cho_solve(
-                (L, True), Bm))(Lg2, A_j)
-            trace = jnp.sum(A_j * (Ginv_A @ cov_prev), axis=(1, 2))
-            q_lat_slot = -0.5 * (mahal2 + trace) - 0.5 * T * LOG2PI
+            LCH = 256
+            b_pad = (-B) % LCH
+            nb = (B + b_pad) // LCH
+
+            def padt(a):
+                return jnp.pad(a, ((0, b_pad),) + ((0, 0),) * (a.ndim - 1))
+
+            q_lat_slot = jax.lax.map(
+                lat_chunk,
+                (padt(resid).reshape(nb, LCH, T, 1),
+                 padt(G_j).reshape(nb, LCH, T, T),
+                 padt(A_j).reshape(nb, LCH, T, T),
+                 padt(cov_prev).reshape(nb, LCH, T, T))).reshape(-1)[:B]
             q_lat_slot = jnp.where(member_s & (n_members > 0), q_lat_slot,
                                    jnp.zeros_like(q_lat_slot))
             q_lat = jnp.zeros((N,), dtype=dtype).at[midx].set(

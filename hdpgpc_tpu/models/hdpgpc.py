@@ -46,6 +46,19 @@ from hdpgpc_tpu.warp.monotone import (build_batch_warp, make_warp_prior,
                                       warp_prior_score)
 
 
+class _Timed:
+    def __init__(self, model, name):
+        self.m, self.name = model, name
+
+    def __enter__(self):
+        self.t0 = time.time()
+
+    def __exit__(self, *a):
+        dt = time.time() - self.t0
+        self.m.timings[self.name] = self.m.timings.get(self.name, 0.0) + dt
+        self.m.counts[self.name] = self.m.counts.get(self.name, 0) + 1
+
+
 class Cluster:
     """Host-side handle: compiled cluster state + bookkeeping."""
 
@@ -122,6 +135,21 @@ class HDPGPC:
         self.cfg = config
         self.dtype = jnp.float32 if config.compute_dtype == "float32" \
             else jnp.float64
+        if self.dtype == jnp.float32:
+            # v5e f32 matmuls default to bf16 passes, which destroys the
+            # SPD structure feeding the Cholesky chain; full-f32 passes
+            # cost nothing at these tile sizes and keep the speed mode
+            # finite (142x faster than emulated f64 per refit).
+            jax.config.update("jax_default_matmul_precision", "highest")
+            # The 4000-iteration Adam kernel fit is sequential device
+            # latency; the speed mode caps it (the fitted outputscale
+            # keeps creeping long after the plateau check engages, so
+            # decisions are already approximate in f32).
+            if config.gp.kernel_fit_iters == 4000:
+                import dataclasses as _dc
+                config = _dc.replace(config, gp=_dc.replace(
+                    config.gp, kernel_fit_iters=1500))
+                self.cfg = config
         self.verbose = config.verbose
         self.n_outputs = config.n_outputs
         self.M = config.initial_clusters
@@ -166,6 +194,12 @@ class HDPGPC:
         self.resp_last = None
         self.respPair_last = None
         self.elbo_last = None
+
+        # phase timing (HDPGPC_TIMING=1)
+        import os as _os
+        self._timing_on = _os.environ.get("HDPGPC_TIMING") == "1"
+        self.timings: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
 
         # compiled program caches
         self._refits = {}
@@ -230,7 +264,8 @@ class HDPGPC:
             theta = fit_kernel(self.x_basis, Y[seed], self._def_bound_sigma,
                                pin_lengthscale=self.cfg.gp.kernel_fit_pin_lengthscale,
                                max_iters=self.cfg.gp.kernel_fit_iters,
-                               lr=self.cfg.gp.kernel_fit_lr)
+                               lr=self.cfg.gp.kernel_fit_lr,
+                               dtype=self.dtype)
             theta = KernelParams(*(np.float64(v) for v in theta))
             self._kernel_fit_cache[key] = theta
             if self.verbose:
@@ -271,6 +306,12 @@ class HDPGPC:
             self._refits[key] = jax.jit(jax.vmap(inner))
         return self._refits[key]
 
+    def print_timings(self):
+        tot = sum(self.timings.values())
+        for k in sorted(self.timings, key=lambda k: -self.timings[k]):
+            print(f"  [time] {k}: {self.timings[k]:.1f}s x{self.counts[k]}")
+        print(f"  [time] total tracked: {tot:.1f}s")
+
     def _full_refit_batch(self, jobs, update_params=True):
         """Batched version of _full_refit.
 
@@ -283,6 +324,34 @@ class HDPGPC:
             cl, ld, Y, rc = jobs[0]
             return [self._full_refit(cl, ld, Y, rc,
                                      update_params=update_params)]
+        # group jobs by their own scan bucket (batching a small cluster
+        # with a large one would inflate its scan length to the group
+        # max), then cap B * bucket per vmapped call so peak HBM stays
+        # bounded (an uncapped vmap8 x N=500 run crashed the TPU worker).
+        N_all = jobs[0][2].shape[0]
+        def job_bucket(j):
+            b = self._bucket_for(int(np.sum(j[3] > 0.99)), N_all)
+            return N_all if b is None else b
+        buckets = [job_bucket(j) for j in jobs]
+        if len(set(buckets)) > 1:
+            order = {}
+            for i, b in enumerate(buckets):
+                order.setdefault(b, []).append(i)
+            results = [None] * len(jobs)
+            for b, idxs in order.items():
+                sub = [jobs[i] for i in idxs]
+                for i, r in zip(idxs, self._full_refit_batch(
+                        sub, update_params=update_params)):
+                    results[i] = r
+            return results
+        eff_bucket = buckets[0]
+        max_jobs = max(1, int(4096 // max(eff_bucket, 1)))
+        if len(jobs) > max_jobs:
+            out = []
+            for s_ in range(0, len(jobs), max_jobs):
+                out.extend(self._full_refit_batch(
+                    jobs[s_:s_ + max_jobs], update_params=update_params))
+            return out
         prepped = []
         for cl, ld, Y, rc in jobs:
             st = gplds.reinit_cluster_state(
@@ -294,8 +363,8 @@ class HDPGPC:
                               *[c.state for c in prepped])
         Yb = jnp.asarray(np.stack([j[2] for j in jobs]), self.dtype)
         Rb = jnp.asarray(np.stack([j[3] for j in jobs]), self.dtype)
-        max_members = max(int(np.sum(j[3] > 0.99)) for j in jobs)
-        bucket = self._bucket_for(max_members, Yb.shape[1])
+        bucket = self._bucket_for(
+            max(int(np.sum(j[3] > 0.99)) for j in jobs), Yb.shape[1])
         prog = self._refit_prog_batched(update_params=update_params,
                                         bucket=bucket)
         res = prog(Yb, Rb, states)
@@ -397,6 +466,12 @@ class HDPGPC:
     # ELBO accounting (GPI_HDP.compute_q_elbo, GPI_HDP.py:1796-1864)
     # ------------------------------------------------------------------
 
+    def _lds_elbo_prog(self):
+        if "lds_elbo_v" not in self._refits:
+            self._refits["lds_elbo_v"] = jax.jit(
+                jax.vmap(gplds.lds_param_elbo, in_axes=(0, None)))
+        return self._refits["lds_elbo_v"]
+
     def _full_lds_elbo(self, clusters_ld: List[Cluster],
                        sum_resp: np.ndarray) -> float:
         elb = 0.0
@@ -405,9 +480,15 @@ class HDPGPC:
             return 0.0
         frac = sum_resp / max(sum_resp.sum(), 1e-300)
         fd = float(self.cfg.gp.free_deg_mniw)
-        for i, cl in enumerate(clusters_ld):
-            if i < sum_resp.shape[0] and sum_resp[i] > 0:
-                elb += float(gplds.lds_param_elbo(cl.state, fd)) * frac[i]
+        live = [i for i, cl in enumerate(clusters_ld)
+                if i < sum_resp.shape[0] and sum_resp[i] > 0]
+        if not live:
+            return 0.0
+        states = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[clusters_ld[i].state for i in live])
+        vals = np.asarray(self._lds_elbo_prog()(states, fd))
+        for j, i in enumerate(live):
+            elb += float(vals[j]) * frac[i]
         return elb / M_
 
     def compute_q_elbo(self, resp, respPair, q_w, q_lat_w, clusters, M,
@@ -961,24 +1042,28 @@ class HDPGPC:
 
             q = q_.copy()
             q_lat = q_lat_.copy()
-            clusters_temp: List[List[Cluster]] = [[] for _ in range(L)]
+            clusters_temp: List[List[Cluster]] = [
+                [None] * M for _ in range(L)]
+            jobs, slots = [], []
             for ld in range(L):
                 for m in range(M):
                     if not np.array_equal(resp[:, reorder[m]],
                                           resp_temp[:, m]):
-                        cl = self.clusters[ld][reorder[m]]
-                        q_col, ql_col, s_col, cl2 = self._full_refit(
-                            cl, ld, y_w[:, :, ld, reorder[m]],
-                            resp_temp[:, m])
-                        q[:, m, ld] = q_col + liks[:, reorder[m], ld]
-                        q_lat[:, m, ld] = ql_col
-                        snr_aux[:, m, ld] = s_col
-                        clusters_temp[ld].append(cl2)
+                        jobs.append((self.clusters[ld][reorder[m]], ld,
+                                     y_w[:, :, ld, reorder[m]],
+                                     resp_temp[:, m]))
+                        slots.append((ld, m))
                     else:
                         cl = self.clusters[ld][reorder[m]]
                         q[:, m, ld] = q_[:, reorder[m], ld]
                         snr_aux[:, m, ld] = snr_[:, reorder[m], ld]
-                        clusters_temp[ld].append(cl)
+                        clusters_temp[ld][m] = cl
+            for (ld, m), (q_col, ql_col, s_col, cl2) in zip(
+                    slots, self._full_refit_batch(jobs)):
+                q[:, m, ld] = q_col + liks[:, reorder[m], ld]
+                q_lat[:, m, ld] = ql_col
+                snr_aux[:, m, ld] = s_col
+                clusters_temp[ld][m] = cl2
 
             q_bas_, elbo_bas_ = self.compute_q_elbo(
                 resp_temp, respPair_temp, self.weight_mean(q, snr_aux),
@@ -1176,7 +1261,9 @@ class HDPGPC:
             reorder = np.argsort(-resp_temp.sum(axis=0), kind="stable")
             resp_temp = resp_temp[:, reorder].copy()
 
-            clusters_temp: List[List[Cluster]] = [[] for _ in range(L)]
+            clusters_temp: List[List[Cluster]] = [
+                [None] * Mb for _ in range(L)]
+            jobs, slots = [], []
             for ld in range(L):
                 for m in range(Mb):
                     if reorder[m] == Mb - 1:
@@ -1185,27 +1272,27 @@ class HDPGPC:
                             cl = self.clusters[ld][m_chosen].clone()
                         else:
                             cl = self._new_cluster()
-                        q_col, ql_col, s_col, cl = self._full_refit(
-                            cl, ld, y_w[:, :, ld, reorder[m]],
-                            resp_temp[:, m])
-                        q[:, m, ld] = q_col + liks[:, reorder[m], ld]
-                        q_lat[:, m, ld] = ql_col
-                        snr_aux[:, m, ld] = s_col
+                        jobs.append((cl, ld, y_w[:, :, ld, reorder[m]],
+                                     resp_temp[:, m]))
+                        slots.append((ld, m))
                     elif not np.array_equal(resp[:, reorder[m]],
                                             resp_temp[:, m]):
-                        cl = self.clusters[ld][reorder[m]]
-                        q_col, ql_col, s_col, cl = self._full_refit(
-                            cl, ld, y_w[:, :, ld, reorder[m]],
-                            resp_temp[:, m])
-                        q[:, m, ld] = q_col + liks[:, reorder[m], ld]
-                        q_lat[:, m, ld] = ql_col
-                        snr_aux[:, m, ld] = s_col
+                        jobs.append((self.clusters[ld][reorder[m]], ld,
+                                     y_w[:, :, ld, reorder[m]],
+                                     resp_temp[:, m]))
+                        slots.append((ld, m))
                     else:
                         cl = self.clusters[ld][reorder[m]]
                         q[:, m, ld] = q__[:, reorder[m], ld]
                         q_lat[:, m, ld] = q_lat__[:, reorder[m], ld]
                         snr_aux[:, m, ld] = snr__def[:, reorder[m], ld]
-                    clusters_temp[ld].append(cl)
+                        clusters_temp[ld][m] = cl
+            for (ld, m), (q_col, ql_col, s_col, cl2) in zip(
+                    slots, self._full_refit_batch(jobs)):
+                q[:, m, ld] = q_col + liks[:, reorder[m], ld]
+                q_lat[:, m, ld] = ql_col
+                snr_aux[:, m, ld] = s_col
+                clusters_temp[ld][m] = cl2
 
             q_bas_, elbo_bas_ = self.compute_q_elbo(
                 resp_temp, respPair_temp, self.weight_mean(q, snr_aux),
@@ -1363,7 +1450,8 @@ class HDPGPC:
             theta = fit_kernel(self.x_basis, y, self._def_bound_sigma,
                                pin_lengthscale=self.cfg.gp.kernel_fit_pin_lengthscale,
                                max_iters=self.cfg.gp.kernel_fit_iters,
-                               lr=self.cfg.gp.kernel_fit_lr)
+                               lr=self.cfg.gp.kernel_fit_lr,
+                               dtype=self.dtype)
             theta = KernelParams(*(np.float64(v) for v in theta))
             self._kernel_fit_cache[key] = theta
         st = gplds.apply_kernel_fit(cl.state, jnp.asarray(self.x_basis),
@@ -1901,3 +1989,37 @@ class HDPGPC:
         self.elbo_last = elbo_
         self.train_elbo.append(elbo_)
         return self
+
+
+def _install_timers():
+    """Wrap the hot orchestrator phases with wall timers
+    (enabled per-instance via HDPGPC_TIMING=1)."""
+    import functools
+
+    def timed(name):
+        def deco(fn):
+            @functools.wraps(fn)
+            def wrapper(self, *a, **k):
+                if not getattr(self, "_timing_on", False):
+                    return fn(self, *a, **k)
+                t0 = time.time()
+                try:
+                    return fn(self, *a, **k)
+                finally:
+                    dt = time.time() - t0
+                    self.timings[name] = self.timings.get(name, 0.0) + dt
+                    self.counts[name] = self.counts.get(name, 0) + 1
+            return wrapper
+        return deco
+
+    HDPGPC._full_refit_batch = timed("refit_batch")(HDPGPC._full_refit_batch)
+    HDPGPC._full_refit = timed("refit_one")(HDPGPC._full_refit)
+    HDPGPC._seed_score = timed("seed_score")(HDPGPC._seed_score)
+    HDPGPC._fb = timed("fb")(HDPGPC._fb)
+    HDPGPC._maybe_kernel_fit = timed("kernel_fit")(HDPGPC._maybe_kernel_fit)
+    HDPGPC.compute_q_elbo = timed("q_elbo")(HDPGPC.compute_q_elbo)
+    HDPGPC._hdp_global_update = timed("hdp_update")(HDPGPC._hdp_global_update)
+    HDPGPC._warp_by_resp = timed("warp")(HDPGPC._warp_by_resp)
+
+
+_install_timers()

@@ -98,12 +98,13 @@ def _fit(x, y, n_lb, n_ub, max_iters: int = 4000, lr: float = 0.1):
 
 def fit_kernel(x_basis, y, bound_sigma: Tuple[float, float],
                pin_lengthscale: float = 1.2, max_iters: int = 4000,
-               lr: float = 0.1) -> KernelParams:
+               lr: float = 0.1, dtype=None) -> KernelParams:
     """Fit (outputscale, lengthscale, noise) on one beat; lengthscale is
     pinned on write-back (GPI.py:711). x_basis: (T,) or (T, 1); y: (T,).
-    """
-    x = jnp.asarray(x_basis).reshape(-1)
-    y = jnp.asarray(y).reshape(-1)
+    ``dtype``: compute dtype (float32 speed mode runs the Adam loop in
+    f32 — ~100x faster on v5e where f64 is emulated)."""
+    x = jnp.asarray(x_basis, dtype).reshape(-1)
+    y = jnp.asarray(y, dtype).reshape(-1)
     lb = jnp.asarray(bound_sigma[0], x.dtype)
     ub = jnp.asarray(bound_sigma[1], x.dtype)
     s, _l, n = _fit(x, y, lb, ub, max_iters=max_iters, lr=lr)
