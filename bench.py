@@ -16,7 +16,8 @@ import time
 
 import numpy as np
 
-N_BEATS = int(os.environ.get("HDPGPC_BENCH_BEATS", "500"))
+N_BEATS = int(os.environ.get("HDPGPC_BENCH_BEATS", "2272"))
+DTYPE = os.environ.get("HDPGPC_BENCH_DTYPE", "float32")
 
 
 def main():
@@ -36,7 +37,8 @@ def main():
                    bound_sigma=bound_sigma, bound_gamma=bound_gamma,
                    verbose=False, hmm_switch=True, max_models=100,
                    bayesian_params=True, reestimate_initial_params=True,
-                   n_explore_steps=5, free_deg_MNIV=5)
+                   n_explore_steps=5, free_deg_MNIV=5,
+                   compute_dtype=DTYPE)
     t0 = time.time()
     import contextlib, io
     with contextlib.redirect_stdout(io.StringIO()):
@@ -44,6 +46,13 @@ def main():
     elapsed = time.time() - t0
     sweeps = max(len(model.train_elbo), 1)
     sec_per_sweep = elapsed / sweeps
+
+    # quality gate: the speed mode must reproduce the reference-parity
+    # clustering (rec 100 full: 33/2272); a degraded run reports
+    # vs_baseline = 0 rather than a meaningless speedup.
+    from hdpgpc_tpu.utils.eval import classification_error
+    err, tot = classification_error(model, labels[:N_BEATS], 0)
+    quality_ok = (err / max(tot, 1)) <= 0.02
 
     baseline = None
     bl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -57,9 +66,10 @@ def main():
         ref_sweeps = bl.get("reference_offline_sweeps_rec100_full", 1)
         if ref_total:
             baseline = (ref_total / ref_sweeps) * (N_BEATS / 2272.0)
-    vs = (baseline / sec_per_sweep) if baseline else 0.0
+    vs = (baseline / sec_per_sweep) if (baseline and quality_ok) else 0.0
     print(json.dumps({
-        "metric": f"offline_vi_sec_per_sweep_rec100_n{N_BEATS}",
+        "metric": (f"offline_vi_sec_per_sweep_rec100_n{N_BEATS}_"
+                   f"{DTYPE}_err{err}of{tot}"),
         "value": round(sec_per_sweep, 4),
         "unit": "s/sweep",
         "vs_baseline": round(vs, 3),

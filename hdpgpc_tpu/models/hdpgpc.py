@@ -345,7 +345,11 @@ class HDPGPC:
                     results[i] = r
             return results
         eff_bucket = buckets[0]
-        max_jobs = max(1, int(4096 // max(eff_bucket, 1)))
+        # HBM budget: the 4096-item cap was sized for T=50 covariance
+        # footprints; scale it down quadratically for longer series.
+        T_ = jobs[0][2].shape[1]
+        cap = max(64, int(4096 * min(1.0, (50.0 / max(T_, 1)) ** 2)))
+        max_jobs = max(1, int(cap // max(eff_bucket, 1)))
         if len(jobs) > max_jobs:
             out = []
             for s_ in range(0, len(jobs), max_jobs):
@@ -451,16 +455,26 @@ class HDPGPC:
         """Hard FB (variational local step). q_w: (N, K) fused logs.
         ``transPi`` is accepted for signature parity but, as in the
         reference, the matrix actually used is rebuilt from theta at
-        the current K."""
+        the current K.
+
+        K is padded to a multiple of 4 with -inf evidence columns so the
+        jitted FB programs recompile only every fourth cluster birth;
+        padding columns have zero forward mass and are never argmaxed.
+        """
         K = q_w.shape[1]
-        sp = np.full((K,), -np.inf)
+        Kp = ((K + 3) // 4) * 4
+        q_p = np.full((q_w.shape[0], Kp), -np.inf)
+        q_p[:, :K] = q_w
+        sp = np.full((Kp,), -np.inf)
         spn = np.asarray(startPi)
-        sp[:min(spn.shape[0], K)] = spn[:min(spn.shape[0], K)]
-        tp = self._trans_log_pi_for_K(K)
+        sp[:min(spn.shape[0], Kp)] = spn[:min(spn.shape[0], Kp)]
+        tp = np.full((Kp, Kp), -np.inf)
+        tp[:K, :K] = self._trans_log_pi_for_K(K)
         resp, logresp, respPair, logrespPair = hmm_ops.fb_hard(
-            jnp.asarray(sp), jnp.asarray(tp), jnp.asarray(q_w))
-        return (np.asarray(resp), np.asarray(logresp),
-                np.asarray(respPair), np.asarray(logrespPair))
+            jnp.asarray(sp), jnp.asarray(tp), jnp.asarray(q_p))
+        return (np.asarray(resp)[:, :K], np.asarray(logresp)[:, :K],
+                np.asarray(respPair)[:, :K, :K],
+                np.asarray(logrespPair)[:, :K, :K])
 
     # ------------------------------------------------------------------
     # ELBO accounting (GPI_HDP.compute_q_elbo, GPI_HDP.py:1796-1864)
@@ -800,6 +814,14 @@ class HDPGPC:
         print("Redefining default LDS priors.")
         s, g, bs, bg = redefine_default_priors(
             y, self.cfg.gp.estimation_limit)
+        # The estimator reads the first 10 samples per series (an ECG
+        # pre-QRS-baseline assumption, GPI_HDP.py:1876-1880). On data
+        # that is ~0 there (e.g. spectra), it returns 0 and would
+        # install singular covariance priors; keep the constructor's.
+        if not (np.isfinite(s) and np.isfinite(g) and s > 0 and g > 0):
+            print("Reestimated priors degenerate "
+                  f"(sigma={s}, gamma={g}); keeping constructor priors.")
+            return
         self._def_sigma, self._def_gamma = s, g
         self._def_bound_sigma, self._def_bound_gamma = bs, bg
         print("-----------Reestimated ------------", flush=True)
@@ -1487,6 +1509,31 @@ class HDPGPC:
             col[cl.members[0]] = vf
         return col
 
+    def _score_last_prog(self):
+        if "score_last_v" not in self._refits:
+            self._refits["score_last_v"] = jax.jit(
+                jax.vmap(gplds.log_sq_error_last, in_axes=(0, None)))
+        return self._refits["score_last_v"]
+
+    def _score_last_all(self, ld: int, y_per_cluster: np.ndarray
+                        ) -> np.ndarray:
+        """log_sq_error(i=-1) against every cluster in ONE vmapped call.
+        y_per_cluster: (M, T) (possibly per-cluster warped)."""
+        M = len(self.clusters[ld])
+        states = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[cl.state for cl in self.clusters[ld]])
+        vals = self._score_last_prog()(
+            states, jnp.asarray(y_per_cluster[0], self.dtype)) \
+            if np.all(y_per_cluster == y_per_cluster[0:1]) else None
+        if vals is None:
+            outs = []
+            for m in range(M):
+                outs.append(float(gplds.log_sq_error_last(
+                    jax.tree.map(lambda x: x[m], states),
+                    jnp.asarray(y_per_cluster[m], self.dtype))))
+            return np.asarray(outs)
+        return np.asarray(vals)
+
     def _online_pis(self, M):
         """Online transPi/startPi use digamma-sum denominators
         (variational_local_terms, GPI_HDP.py:607-610), unlike the
@@ -1547,10 +1594,10 @@ class HDPGPC:
             q_aux[:-1, :self.q_last.shape[1], :] = self.q_last
             q_lat[:-1, :self.q_lat_last.shape[1], :] = self.q_lat_last
         for ld in range(L):
+            scores = self._score_last_all(ld, y_mod[:, ld, :M].T)
             for m in range(M):
                 cl = self.clusters[ld][m]
-                q_aux[-1, m, ld] = float(gplds.log_sq_error_last(
-                    cl.state, jnp.asarray(y_mod[:, ld, m]))) + liks[m]
+                q_aux[-1, m, ld] = scores[m] + liks[m]
                 q_lat[:, m, ld] = self._patch_q_lat_col(
                     q_lat[:, m, ld], cl)
 

@@ -40,11 +40,15 @@ def _nll(params, x, y):
     raw_s, raw_l, raw_n, c, n_lb, n_ub = params["raw_s"], params["raw_l"], \
         params["raw_n"], params["c"], params["n_lb"], params["n_ub"]
     s = _softplus(raw_s)
-    l = _softplus(raw_l)
+    # Floors inert on sane trajectories (ECG lengthscales are O(1));
+    # they only engage when the optimiser diverges (raw_l -> -inf made
+    # d2/l**2 overflow to inf, which faults the TPU's emulated-f64 exp).
+    l = jnp.maximum(_softplus(raw_l), 1e-6)
     n = n_lb + (n_ub - n_lb) * jax.nn.sigmoid(raw_n)
     T = x.shape[0]
     d2 = (x[:, None] - x[None, :]) ** 2
-    K = s * jnp.exp(-0.5 * d2 / (l**2)) + n * jnp.eye(T, dtype=x.dtype)
+    K = (s * jnp.exp(-jnp.minimum(0.5 * d2 / (l**2), 700.0))
+         + n * jnp.eye(T, dtype=x.dtype))
     L = jnp.linalg.cholesky(K)
     r = (y - c)[:, None]
     alpha = jax.scipy.linalg.cho_solve((L, True), r)
@@ -53,30 +57,28 @@ def _nll(params, x, y):
     return -ll / T
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "lr"))
-def _fit(x, y, n_lb, n_ub, max_iters: int = 4000, lr: float = 0.1):
-    dtype = x.dtype
-    params = {
-        "raw_s": jnp.asarray(0.0, dtype),
-        "raw_l": jnp.asarray(0.0, dtype),
-        "raw_n": jnp.asarray(0.0, dtype),
-        "c": jnp.asarray(0.0, dtype),
-        "n_lb": n_lb, "n_ub": n_ub,
-    }
-    trainable = ("raw_s", "raw_l", "raw_n", "c")
-    opt = optax.adam(lr)
-    opt_state = opt.init({k: params[k] for k in trainable})
-    loss_buf = jnp.zeros((11,), dtype)
+# One device program per CHUNK of Adam iterations. A single
+# while_loop over all 4000 iterations can exceed the TPU worker's
+# execution window for long series (T~170 f64 emulated: minutes) and
+# kills the worker; host-chunking is numerically identical — same
+# update sequence, same per-iteration plateau test on the global
+# iteration counter.
+_FIT_CHUNK = 500
 
-    grad_fn = jax.value_and_grad(
-        lambda tp: _nll({**params, **tp}, x, y))
+
+@functools.partial(jax.jit, static_argnames=("chunk", "lr"))
+def _fit_chunk(tp, opt_state, buf, i0, n_lb, n_ub, x, y,
+               chunk: int = _FIT_CHUNK, lr: float = 0.1):
+    opt = optax.adam(lr)
+    params = {"n_lb": n_lb, "n_ub": n_ub}
+    grad_fn = jax.value_and_grad(lambda t: _nll({**params, **t}, x, y))
 
     def cond(state):
-        i, tp, os, buf, done = state
-        return (~done) & (i < max_iters)
+        j, i, tp, os, buf, done = state
+        return (~done) & (j < chunk)
 
     def body(state):
-        i, tp, os, buf, _ = state
+        j, i, tp, os, buf, _ = state
         loss, g = grad_fn(tp)
         updates, os = opt.update(g, os)
         tp = optax.apply_updates(tp, updates)
@@ -84,12 +86,27 @@ def _fit(x, y, n_lb, n_ub, max_iters: int = 4000, lr: float = 0.1):
         # reference plateau test: after >1000 recorded losses,
         # |sum(losses[-10:] - losses[-11:-1])| < 1e-4  (GPI.py:695-698)
         plateau = (i > 1000) & (jnp.abs(jnp.sum(buf[1:] - buf[:-1])) < 1e-4)
-        return (i + 1, tp, os, buf, plateau)
+        return (j + 1, i + 1, tp, os, buf, plateau)
 
-    init = (jnp.asarray(0, jnp.int32),
-            {k: params[k] for k in trainable}, opt_state, loss_buf,
+    init = (jnp.asarray(0, jnp.int32), i0, tp, opt_state, buf,
             jnp.asarray(False))
-    _, tp, _, _, _ = jax.lax.while_loop(cond, body, init)
+    _, i, tp, opt_state, buf, done = jax.lax.while_loop(cond, body, init)
+    return tp, opt_state, buf, i, done
+
+
+def _fit(x, y, n_lb, n_ub, max_iters: int = 4000, lr: float = 0.1):
+    dtype = x.dtype
+    tp = {"raw_s": jnp.asarray(0.0, dtype), "raw_l": jnp.asarray(0.0, dtype),
+          "raw_n": jnp.asarray(0.0, dtype), "c": jnp.asarray(0.0, dtype)}
+    opt_state = optax.adam(lr).init(tp)
+    buf = jnp.zeros((11,), dtype)
+    i = jnp.asarray(0, jnp.int32)
+    while int(i) < max_iters:
+        chunk = min(_FIT_CHUNK, max_iters - int(i))
+        tp, opt_state, buf, i, done = _fit_chunk(
+            tp, opt_state, buf, i, n_lb, n_ub, x, y, chunk=chunk, lr=lr)
+        if bool(done):
+            break
     s = _softplus(tp["raw_s"])
     l = _softplus(tp["raw_l"])
     n = n_lb + (n_ub - n_lb) * jax.nn.sigmoid(tp["raw_n"])

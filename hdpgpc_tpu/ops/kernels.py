@@ -63,7 +63,10 @@ def gram_tpu(params: KernelParams, x: jax.Array, include_noise: bool = False) ->
     Falls back to the XLA path off-TPU or for tiny T.
     """
     T = x.shape[0]
-    if jax.default_backend() not in ("tpu", "axon") or T < 128:
+    # Pallas TPU custom-calls don't survive XLA's X64 rewrite pass —
+    # f64 inputs crash the worker. Only dispatch for native dtypes.
+    if (jax.default_backend() not in ("tpu", "axon") or T < 128
+            or x.dtype not in (jnp.float32, jnp.bfloat16)):
         return gram(params, x, x, include_noise=include_noise)
     from hdpgpc_tpu.ops.pallas.gram import rbf_gram_pallas
 
