@@ -60,9 +60,15 @@ class _Timed:
 
 
 class Cluster:
-    """Host-side handle: compiled cluster state + bookkeeping."""
+    """Host-side handle: compiled cluster state + bookkeeping.
 
-    __slots__ = ("state", "fitted", "members")
+    ``lds_elbo`` memoises gplds.lds_param_elbo(state, free_deg): the
+    state is immutable (refits build new Cluster objects), so the value
+    is computed at most once per refit instead of on each of the
+    orchestrator's many compute_q_elbo calls per sweep.
+    """
+
+    __slots__ = ("state", "fitted", "members", "lds_elbo")
 
     def __init__(self, state: ClusterState, fitted: bool = False,
                  members: Optional[np.ndarray] = None):
@@ -70,9 +76,12 @@ class Cluster:
         self.fitted = fitted
         self.members = (np.zeros(0, np.int64) if members is None
                         else np.asarray(members, np.int64))
+        self.lds_elbo: Optional[float] = None
 
     def clone(self) -> "Cluster":
-        return Cluster(self.state, self.fitted, self.members.copy())
+        c = Cluster(self.state, self.fitted, self.members.copy())
+        c.lds_elbo = self.lds_elbo
+        return c
 
 
 class HDPGPC:
@@ -257,23 +266,44 @@ class HDPGPC:
         active = np.flatnonzero(resp_col > 0.99)
         if active.size == 0:
             return cl
+        import os as _os
+        import sys as _sys
+        _dbg = _os.environ.get("HDPGPC_FIT_DEBUG") == "1"
         seed = int(active[0])
         key = (ld, seed, self._def_bound_sigma)
         theta = self._kernel_fit_cache.get(key)
         if theta is None:
+            _t0 = time.time()
+            if _dbg:
+                print(f"[kf] enter fit @{_t0:.2f}", file=_sys.stderr,
+                      flush=True)
             theta = fit_kernel(self.x_basis, Y[seed], self._def_bound_sigma,
                                pin_lengthscale=self.cfg.gp.kernel_fit_pin_lengthscale,
                                max_iters=self.cfg.gp.kernel_fit_iters,
                                lr=self.cfg.gp.kernel_fit_lr,
                                dtype=self.dtype)
+            if _dbg:
+                print(f"[kf] fit_kernel returned @{time.time():.2f}",
+                      file=_sys.stderr, flush=True)
             theta = KernelParams(*(np.float64(v) for v in theta))
+            if _dbg:
+                print(f"[kf] scalar fetch done @{time.time():.2f}",
+                      file=_sys.stderr, flush=True)
             self._kernel_fit_cache[key] = theta
+            if _dbg:
+                print(f"[kf] fit seed={seed} {time.time() - _t0:.2f}s",
+                      file=_sys.stderr, flush=True)
             if self.verbose:
                 print(f"---Kernel estimated--- lead {ld} seed {seed}: "
                       f"scale={float(theta.outputscale):.4g} "
                       f"noise={float(theta.noise):.4g}")
+        _t1 = time.time()
         st = gplds.apply_kernel_fit(cl.state, jnp.asarray(self.x_basis),
                                     KernelParams(*map(jnp.asarray, theta)))
+        if _dbg:
+            jax.block_until_ready(st.K0)
+            print(f"[kf] apply seed={seed} {time.time() - _t1:.2f}s",
+                  file=_sys.stderr, flush=True)
         return Cluster(st, fitted=True, members=cl.members)
 
     def _full_refit(self, cl: Cluster, ld: int, Y: np.ndarray,
@@ -281,6 +311,8 @@ class HDPGPC:
         """reinit + (kernel fit) + fused refit. Y: (N, T) for this lead.
 
         Returns (q, q_lat, snr, Cluster)."""
+        import os as _os
+        _t0 = time.time()
         st = gplds.reinit_cluster_state(cl.state,
                                         float(self.cfg.gp.free_deg_mniw))
         cl2 = Cluster(st, cl.fitted, cl.members)
@@ -292,8 +324,14 @@ class HDPGPC:
                    jnp.asarray(resp_col, self.dtype), cl2.state)
         members = np.flatnonzero(resp_col > 0.99)
         out = Cluster(res.state, cl2.fitted, members)
-        return (np.asarray(res.q), np.asarray(res.q_lat),
-                np.asarray(res.snr), out)
+        ret = (np.asarray(res.q), np.asarray(res.q_lat),
+               np.asarray(res.snr), out)
+        if _os.environ.get("HDPGPC_FIT_DEBUG") == "1":
+            import sys as _sys
+            print(f"[r1] members={members.size} bucket={bucket} "
+                  f"N={Y.shape[0]} up={update_params} "
+                  f"{time.time() - _t0:.2f}s", file=_sys.stderr, flush=True)
+        return ret
 
     def _refit_prog_batched(self, update_params=True, bucket=None):
         """jit(vmap(refit)): run B cluster refits in ONE XLA call —
@@ -344,7 +382,23 @@ class HDPGPC:
                         sub, update_params=update_params)):
                     results[i] = r
             return results
-        eff_bucket = buckets[0]
+        import os as _os
+        if _os.environ.get("HDPGPC_FIT_DEBUG") == "1":
+            import sys as _sys
+            import time as _time
+            _t0 = _time.time()
+            out = self._full_refit_batch_inner(jobs, update_params)
+            print(f"[rb] jobs={len(jobs)} bucket={buckets[0]} "
+                  f"N={N_all} {_time.time() - _t0:.2f}s",
+                  file=_sys.stderr, flush=True)
+            return out
+        return self._full_refit_batch_inner(jobs, update_params)
+
+    def _full_refit_batch_inner(self, jobs, update_params=True):
+        eff_bucket = self._bucket_for(
+            int(np.sum(jobs[0][3] > 0.99)), jobs[0][2].shape[0])
+        N_all = jobs[0][2].shape[0]
+        eff_bucket = N_all if eff_bucket is None else eff_bucket
         # HBM budget: the 4096-item cap was sized for T=50 covariance
         # footprints; scale it down quadratically for longer series.
         T_ = jobs[0][2].shape[1]
@@ -498,11 +552,17 @@ class HDPGPC:
                 if i < sum_resp.shape[0] and sum_resp[i] > 0]
         if not live:
             return 0.0
-        states = jax.tree.map(lambda *xs: jnp.stack(xs),
-                              *[clusters_ld[i].state for i in live])
-        vals = np.asarray(self._lds_elbo_prog()(states, fd))
-        for j, i in enumerate(live):
-            elb += float(vals[j]) * frac[i]
+        # batch-compute only the clusters whose memoised value is stale
+        # (i.e. fresh post-refit handles); everything else is a host add
+        todo = [i for i in live if clusters_ld[i].lds_elbo is None]
+        if todo:
+            states = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                  *[clusters_ld[i].state for i in todo])
+            vals = np.asarray(self._lds_elbo_prog()(states, fd))
+            for j, i in enumerate(todo):
+                clusters_ld[i].lds_elbo = float(vals[j])
+        for i in live:
+            elb += clusters_ld[i].lds_elbo * frac[i]
         return elb / M_
 
     def compute_q_elbo(self, resp, respPair, q_w, q_lat_w, clusters, M,
@@ -1492,22 +1552,50 @@ class HDPGPC:
         return Cluster(res.state, cl.fitted, np.append(cl.members, t))
 
     def _patch_q_lat_col(self, col: np.ndarray, cl: Cluster,
-                         h_ini: float = 1.0) -> np.ndarray:
+                         h_ini: float = 1.0,
+                         only_idxs: Optional[Sequence[int]] = None
+                         ) -> np.ndarray:
         """Refresh the only q_lat entries an online step can change:
         the first / second-to-last / last members' latent scores
-        (compute_q_lat_all semantics via the compact summary)."""
+        (compute_q_lat_all semantics via the compact summary).
+
+        ``only_idxs``: restrict the patch to these time indices — the
+        include_sample_fast tail-patch contract (reference
+        _update_q_lat_tail, GPI_HDP.py:2273-2285 patches exactly
+        [t] or [t, t-1], leaving everything else cached)."""
         if cl.members.size == 0 or self.cfg.gp.model_type != "dynamic":
             return col
         vf, vp, vl = (float(v) for v in gplds.q_lat_tail(cl.state, h_ini))
         col = col.copy()
-        col[cl.members[0]] = vf
+        patch = {int(cl.members[0]): vf}
         if cl.members.size >= 2:
-            col[cl.members[-1]] = vl
+            patch[int(cl.members[-1])] = vl
         if cl.members.size >= 3:
-            col[cl.members[-2]] = vp
-        if cl.members.size == 1:
-            col[cl.members[0]] = vf
+            patch[int(cl.members[-2])] = vp
+        for idx, v in patch.items():
+            if only_idxs is None or idx in only_idxs:
+                col[idx] = v
         return col
+
+    @staticmethod
+    def _append_hard_step(resp_prev: np.ndarray, respPair_prev: np.ndarray,
+                          new_state: int, K: int):
+        """Append one hard step to cached responsibilities (reference
+        _append_hard_step, GPI_HDP.py:2287-2310)."""
+        T_prev = resp_prev.shape[0]
+        resp = np.zeros((T_prev + 1, K))
+        resp[:T_prev, :resp_prev.shape[1]] = resp_prev
+        resp[T_prev, new_state] = 1.0
+        respPair = np.zeros((T_prev + 1, K, K))
+        if respPair_prev is not None and respPair_prev.size > 0:
+            respPair[:T_prev, :respPair_prev.shape[1],
+                     :respPair_prev.shape[2]] = respPair_prev
+        if T_prev == 0:
+            respPair[T_prev, new_state, new_state] = 1.0
+        else:
+            prev_state = int(np.argmax(resp_prev[-1]))
+            respPair[T_prev, prev_state, new_state] = 1.0
+        return resp, respPair
 
     def _score_last_prog(self):
         if "score_last_v" not in self._refits:
@@ -1797,9 +1885,240 @@ class HDPGPC:
         self.resp_assigned.append(np.argmax(resp[:, :self.M], axis=1))
         return model
 
-    # alias with the fast-cache semantics (our include_sample already
-    # caches q/q_lat/resp and appends the last step; GPI_HDP.py:2312)
-    include_sample_fast = include_sample
+    def include_sample_fast(self, x_train, y, with_warp: bool = True,
+                            force_model=None, classify: bool = False):
+        """O(1)-per-beat cached online step (GPI_HDP.include_sample_fast,
+        GPI_HDP.py:2312-2629).
+
+        Approximations relative to ``include_sample`` (the reference's,
+        reproduced here):
+        * past resp/respPair are reused verbatim; the new step is
+          appended as a hard one-hot (+ hard transition pair) instead of
+          re-running forward-backward over the history
+          (_append_hard_step, GPI_HDP.py:2287-2310);
+        * q_lat is patched only at tail indices t / t-1
+          (_update_q_lat_tail, GPI_HDP.py:2273-2285);
+        * the birth candidate's q_lat column uses h_ini=0.5 and is
+          scaled by 5.0 (GPI_HDP.py:2460 — reference quirk, preserved).
+
+        Per-beat cost is flat in t (no full-history message passing).
+        """
+        t = self.T_count
+        y = np.asarray(y, np.float64)
+        if y.ndim == 1:
+            y = y[:, None]
+        L = y.shape[1]
+        assert L == self.n_outputs
+        M = self.M
+        self._ensure_online_buffers(L)
+        if not classify:
+            self.T_count = t + 1
+            self.snr_norm = np.ones((self.T_count, L))
+            self._y_all = np.concatenate([self._y_all, y[None]], axis=0)
+
+        # ---- warp (same strategies as include_sample) ----
+        liks = np.zeros(M + 1)
+        y_mod = np.broadcast_to(y[:, :, None], (self.Tb, L, M + 1)).copy()
+        if with_warp and t > 0 and self.warp:
+            for ld in range(L):
+                y_w_ld, x_w_ld, liks = self._compute_warp_y_online(
+                    y[:, ld], ld, force_model)
+                y_mod[:, ld, :M] = y_w_ld.T
+
+        # ---- q over history (cached) + new row (scored) ----
+        Tn = t + 1
+        q_aux = np.zeros((Tn, M + 1, L)) - np.inf
+        q_lat = np.zeros((Tn, M + 1, L))
+        if t > 0:
+            q_aux[:-1, :self.q_last.shape[1], :] = self.q_last
+            q_lat[:-1, :self.q_lat_last.shape[1], :] = self.q_lat_last
+        for ld in range(L):
+            scores = self._score_last_all(ld, y_mod[:, ld, :M].T)
+            q_aux[-1, :M, ld] = scores + liks[:M]
+
+        if classify:
+            if t > 0:
+                resp, _, _, _ = self._vlt_online(q_aux)
+                return q_aux[:-1], np.asarray(resp[-1]), liks[:-1]
+            return q_aux[:-1], None, liks[:-1]
+
+        if t == 0:
+            resp = np.zeros((1, M + 1))
+            init_state = 0 if force_model is None else int(force_model)
+            resp[0, init_state] = 1.0
+            respPair = np.zeros((1, M + 1, M + 1))
+            respPair[0, init_state, init_state] = 1.0
+            q_chos, q_lat_chos = q_aux, q_lat
+        else:
+            # baseline deltas on the cached history; SNR sliced to the
+            # history rows (GPI_HDP.py:2419-2426 snr_norm[:-1])
+            snr_hist = np.ones((t, 1, L))
+            base_q, base_elbo = self.compute_q_elbo(
+                self.resp_last, self.respPair_last,
+                self.weight_mean(self.q_last, snr_hist),
+                self.weight_mean(self.q_lat_last, snr_hist),
+                self.clusters, self.M, snr="saved", post=False,
+                one_sample=True, verb=False)
+            base_total = base_q + base_elbo
+
+            q_chos, q_lat_chos = q_aux, q_lat
+            m_best_sse = int(np.argmax(self.weight_mean(q_aux)[-1, :-1]))
+            resp_h, respPair_h = self._append_hard_step(
+                self.resp_last, self.respPair_last, m_best_sse, M)
+            resp = np.zeros((Tn, M + 1))
+            resp[:, :M] = resp_h
+            respPair = np.zeros((Tn, M + 1, M + 1))
+            respPair[:, :M, :M] = respPair_h
+
+        if t > 0 and force_model is None:
+            q_ord = np.argsort(-self.weight_mean(q_aux)[-1, :-1],
+                               kind="stable")
+            m_template = int(q_ord[-1])
+
+            # ===== birth candidate (GPI_HDP.py:2444-2463) =====
+            q_prev = q_aux.copy()
+            q_lat_prev = q_lat.copy()
+            prov: List[Cluster] = []
+            for ld in range(L):
+                cl = self.clusters[ld][m_template]
+                st = gplds.reinit_cluster_state(
+                    cl.state, float(self.cfg.gp.free_deg_mniw))
+                pc = Cluster(st, cl.fitted)
+                q_prev[-1, -1, ld] = float(gplds.estimate_new(
+                    pc.state, jnp.asarray(y_mod[:, ld, -1]))) + liks[-1]
+                pc = self._candidate_include(pc, ld, y_mod[:, ld, -1], t)
+                q_lat_prev[:, -1, ld] = self._patch_q_lat_col(
+                    q_lat_prev[:, -1, ld], pc, h_ini=0.5,
+                    only_idxs=(t,)) * 5.0
+                prov.append(pc)
+
+            # gate: compare absorb only when birth wins on emission
+            if int(np.argmax(self.weight_mean(q_prev)[-1])) == M:
+                resp_birth, respPair_birth = self._append_hard_step(
+                    self.resp_last, self.respPair_last, M, M + 1)
+                clusters_birth = [list(self.clusters[ld]) + [prov[ld]]
+                                  for ld in range(L)]
+                q_b, elbo_b = self.compute_q_elbo(
+                    resp_birth, respPair_birth, self.weight_mean(q_prev),
+                    self.weight_mean(q_lat_prev), clusters_birth, M + 1,
+                    snr="saved", post=True, one_sample=True, verb=False)
+                best_total = (q_b + elbo_b) - base_total
+                best_pack = (q_prev, q_lat_prev, resp_birth, respPair_birth)
+
+                # ===== absorb candidates in q-order (GPI_HDP.py:2484-2541)
+                for m_cand in q_ord:
+                    m_cand = int(m_cand)
+                    q_post = q_aux.copy()
+                    q_lat_post = q_lat.copy()
+                    clusters_post = [list(self.clusters[ld])
+                                     for ld in range(L)]
+                    for ld in range(L):
+                        cl = self.clusters[ld][m_cand]
+                        q_post[-1, m_cand, ld] = float(gplds.estimate_new(
+                            cl.state, jnp.asarray(y_mod[:, ld, m_cand]))) \
+                            + liks[m_cand]
+                        cc = self._candidate_include(
+                            cl.clone(), ld, y_mod[:, ld, m_cand], t)
+                        q_lat_post[:, m_cand, ld] = self._patch_q_lat_col(
+                            q_lat_post[:, m_cand, ld], cc, h_ini=1.0,
+                            only_idxs=(t, t - 1))
+                        clusters_post[ld][m_cand] = cc
+                    resp_abs, respPair_abs = self._append_hard_step(
+                        self.resp_last, self.respPair_last, m_cand, M)
+                    q_a, elbo_a = self.compute_q_elbo(
+                        resp_abs, respPair_abs,
+                        self.weight_mean(q_post)[:, :M],
+                        self.weight_mean(q_lat_post)[:, :M],
+                        clusters_post, self.M, snr="saved", post=False,
+                        one_sample=True, verb=False)
+                    absorb_total = (q_a + elbo_a) - base_total
+                    if absorb_total > best_total:
+                        resp_full = np.zeros((Tn, M + 1))
+                        resp_full[:, :M] = resp_abs
+                        respPair_full = np.zeros((Tn, M + 1, M + 1))
+                        respPair_full[:, :M, :M] = respPair_abs
+                        best_pack = (q_post, q_lat_post, resp_full,
+                                     respPair_full)
+                        break
+                q_chos, q_lat_chos, resp, respPair = best_pack
+
+        # ---- choose model / birth / reorder / HDP / commit (shared
+        # tail of include_sample, GPI_HDP.py:2543-2629) ----
+        resp_mod = np.asarray(resp[-1], np.float64).copy()
+        if np.sum(np.isclose(resp_mod, resp_mod.max(), rtol=1e-2)) > 1:
+            h_argmax = int(np.nanargmax(resp_mod))
+            resp_mod[:] = 0.0
+            resp_mod[h_argmax] = 1.0
+        model = int(np.argmax(resp_mod))
+        if self.cfg.max_models is not None and model >= self.cfg.max_models:
+            force_model = model = int(np.argmax(resp_mod[:-1]))
+        if force_model is not None:
+            resp_mod[:] = 0.0
+            resp_mod[int(force_model)] = 1.0
+            model = int(force_model)
+            resp[-1, :] = 0.0
+            resp[-1, model] = 1.0
+            respPair[-1] = 0.0
+            respPair[-1, model, model] = 1.0
+
+        birth = model == self.M
+        if birth:
+            print("Birth of new model: ", self.M + 1)
+            self.M += 1
+            M = self.M
+            for ld in range(L):
+                self.clusters[ld].append(self._new_cluster())
+            y_full = np.concatenate([y_mod[:, :, -1:]], axis=2)
+            y_mod = np.concatenate([y_mod, y_full], axis=2)
+
+        reorder = np.argsort(-resp[:, :M].sum(axis=0), kind="stable")
+        resp_s = resp.copy()
+        resp_s[:, :M] = resp[:, :M][:, reorder]
+        respPair_s = respPair.copy()
+        respPair_s[:, :M, :M] = respPair[:, :M, :M][:, reorder][:, :, reorder]
+        q_chos[:, :M] = q_chos[:, :M][:, reorder]
+        q_lat_chos[:, :M] = q_lat_chos[:, :M][:, reorder]
+        for ld in range(L):
+            self.clusters[ld][:M] = [self.clusters[ld][i] for i in reorder]
+        resp, respPair = resp_s, respPair_s
+        resp_mod = np.asarray(resp[-1, :M], np.float64)
+        model = int(np.argmax(resp_mod))
+
+        start_counts = resp[0, :M]
+        trans_counts = respPair[:, :M, :M].sum(axis=0)
+        if M > 2:
+            self.glob = sb.reinit_globals(self.glob, M - 1, trans_counts,
+                                          start_counts)
+        if M >= 2:
+            for _ in range(4):
+                tt, st = sb.calc_theta_full(self.glob, trans_counts,
+                                            start_counts, M)
+                self.glob = sb.HDPGlobals(
+                    self.glob.rho, self.glob.omega, tt, st, self.glob.gamma,
+                    self.glob.trans_alpha, self.glob.start_alpha,
+                    self.glob.kappa)
+                self.glob = sb.optimise_globals(self.glob, M=self.M + 1)
+
+        self.actual_state = model
+        if self.verbose:
+            print("Main model chosen:", model + 1)
+        for ld in range(L):
+            for m in range(M):
+                hh = resp_mod[m] if m < resp_mod.shape[0] else 0.0
+                src = reorder[m] if m < reorder.shape[0] else m
+                y_commit = y_mod[:, ld, min(src, y_mod.shape[2] - 1)]
+                if hh > 0.99:
+                    self.clusters[ld][m] = self._include_one(
+                        self.clusters[ld][m], ld, y_commit, t)
+
+        # refresh caches verbatim (stale non-tail entries are the
+        # documented fast-path approximation, GPI_HDP.py:2620-2626)
+        self.q_last = q_chos[:, :self.M, :].copy()
+        self.q_lat_last = q_lat_chos[:, :self.M, :].copy()
+        self.resp_last = resp[:, :self.M].copy()
+        self.respPair_last = respPair[:, :self.M, :self.M].copy()
+        self.resp_assigned.append(np.argmax(resp[:, :self.M], axis=1))
+        return model
 
     def _compute_warp_y_online(self, y_ld, ld, force_model=None):
         """Greedy online warp strategy (compute_warp_y,

@@ -95,21 +95,47 @@ def _fit_chunk(tp, opt_state, buf, i0, n_lb, n_ub, x, y,
 
 
 def _fit(x, y, n_lb, n_ub, max_iters: int = 4000, lr: float = 0.1):
+    import os as _os
+    import time as _time
+    _dbg = _os.environ.get("HDPGPC_FIT_DEBUG") == "1"
+    if _dbg:
+        import sys as _sys
+        print(f"[fit] _fit entry @{_time.time():.2f}", file=_sys.stderr,
+              flush=True)
     dtype = x.dtype
     tp = {"raw_s": jnp.asarray(0.0, dtype), "raw_l": jnp.asarray(0.0, dtype),
           "raw_n": jnp.asarray(0.0, dtype), "c": jnp.asarray(0.0, dtype)}
     opt_state = optax.adam(lr).init(tp)
     buf = jnp.zeros((11,), dtype)
     i = jnp.asarray(0, jnp.int32)
+    if _dbg:
+        import sys as _sys
+        print(f"[fit] pre-loop @{_time.time():.2f}", file=_sys.stderr,
+              flush=True)
     while int(i) < max_iters:
         chunk = min(_FIT_CHUNK, max_iters - int(i))
+        _t0 = _time.time()
         tp, opt_state, buf, i, done = _fit_chunk(
             tp, opt_state, buf, i, n_lb, n_ub, x, y, chunk=chunk, lr=lr)
-        if bool(done):
+        done = bool(done)
+        if _dbg:
+            import sys as _sys
+            print(f"[fit] chunk={chunk} i={int(i)} {_time.time() - _t0:.2f}s"
+                  f" @{_time.time():.2f}", file=_sys.stderr, flush=True)
+        if done:
             break
+    if _dbg:
+        import sys as _sys
+        _t = _time.time()
+        print(f"[fit] loop done @{_t:.2f}", file=_sys.stderr, flush=True)
     s = _softplus(tp["raw_s"])
     l = _softplus(tp["raw_l"])
     n = n_lb + (n_ub - n_lb) * jax.nn.sigmoid(tp["raw_n"])
+    if _dbg:
+        import sys as _sys
+        jax.block_until_ready((s, l, n))
+        print(f"[fit] tail ops {_time.time() - _t:.2f}s", file=_sys.stderr,
+              flush=True)
     return s, l, n
 
 

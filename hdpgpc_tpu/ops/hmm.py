@@ -48,13 +48,61 @@ def hard_resp_pair(logrespPair: jax.Array) -> jax.Array:
     return jax.nn.one_hot(idx, K * K, dtype=logrespPair.dtype).reshape(N, K, K)
 
 
+def _norm_compose(a, b):
+    """Normalised matrix composition for associative message scans.
+
+    ``b`` is the later element; the product is renormalised by its total
+    mass, which cancels in every downstream use (the messages are only
+    ever consumed after per-step normalisation) but keeps the entries
+    O(1) over thousands of compositions."""
+    c = b @ a
+    s = jnp.sum(c, axis=(-2, -1), keepdims=True)
+    return c / jnp.where(s == 0, 1.0, s)
+
+
 def forward(start_log_pi, trans_log_pi, log_q):
     """Normalised forward filtering.
 
     start_log_pi: (K,) log start distribution; trans_log_pi: (K, K) log
     transition matrix; log_q: (N, K) row-normalised log evidence.
     Returns fmsg (N, K) and margPrObs (N,).
+
+    TPU-native design: the reference's sequential recursion
+    (GPI_HDP.forward, GPI_HDP.py:3546-3610) is latency-bound on TPU
+    (N tiny steps). Because every step renormalises, the filtered
+    message is scale-invariant in the prefix product, so it is computed
+    here with ``lax.associative_scan`` over transition-evidence matrices
+    M_t = diag(q_t) @ Pi^T in log2(N) batched-matmul rounds — same
+    values as the sequential recursion up to float rounding.
     """
+    pi = jnp.exp(start_log_pi)
+    pi = jnp.where(pi < 1e-10, pi + 1e-4, pi)
+    PiT = _safe_exp_rows(trans_log_pi.T)
+    PiT = jnp.where(PiT < 1e-6, PiT + 1e-4, PiT)
+    q = _safe_exp_rows(log_q)
+    N = q.shape[0]
+
+    a1 = pi * q[0]
+    marg1 = jnp.sum(a1)
+    f1 = a1 / marg1
+    if N == 1:
+        return f1[None], marg1[None]
+
+    M = q[1:, :, None] * PiT[None]              # (N-1, K, K) = diag(q_t) PiT
+    C = jax.lax.associative_scan(_norm_compose, M)
+    alpha = C @ f1                               # (N-1, K), any per-t scale
+    ssum = jnp.sum(alpha, axis=1, keepdims=True)
+    fmsg = jnp.concatenate([f1[None], alpha / ssum], axis=0)
+    # marg_t = sum((PiT f_{t-1}) * q_t) on the NORMALISED previous message
+    # (the reference divides by marg at each step, GPI_HDP.py:3595-3601)
+    marg_rest = jnp.sum(jnp.einsum("tij,tj->ti", M, fmsg[:-1]), axis=1)
+    marg = jnp.concatenate([marg1[None], marg_rest], axis=0)
+    return fmsg, marg
+
+
+def forward_seq(start_log_pi, trans_log_pi, log_q):
+    """Sequential reference recursion (property-test oracle for
+    ``forward``; GPI_HDP.py:3546-3610 literally)."""
     pi = jnp.exp(start_log_pi)
     pi = jnp.where(pi < 1e-10, pi + 1e-4, pi)
     PiT = _safe_exp_rows(trans_log_pi.T)
@@ -88,7 +136,31 @@ def backward(trans_log_pi, log_q):
 
     bmsg[t] = PiMat @ (bmsg[t+1] * q[t+1]), then divided by the sum of
     its entries EXCLUDING the last column (GPI_HDP.py:3644-3646).
+
+    Computed by ``lax.associative_scan`` over B_t = PiMat @ diag(q_{t+1})
+    (suffix products, log2(N) rounds): the per-step normalisation is
+    scale-invariant, so normalising only the final suffix-product
+    messages reproduces the sequential recursion exactly (up to float
+    rounding).
     """
+    PiMat = _safe_exp_rows(trans_log_pi)
+    PiMat = jnp.where(PiMat < 1e-5, PiMat + 1e-4, PiMat)
+    q = _safe_exp_rows(log_q)
+    N, K = q.shape
+    b_last = jnp.ones(K, dtype=q.dtype)
+    if N == 1:
+        return b_last[None]
+
+    B = PiMat[None] * q[1:, None, :]             # (N-1, K, K) = PiMat diag(q)
+    C = jax.lax.associative_scan(_norm_compose, B, reverse=True)
+    b = jnp.sum(C, axis=2)                        # C_t @ ones
+    b = b / jnp.sum(b[:, :-1], axis=1, keepdims=True)
+    return jnp.concatenate([b, b_last[None]], axis=0)
+
+
+def backward_seq(trans_log_pi, log_q):
+    """Sequential reference recursion (property-test oracle for
+    ``backward``; GPI_HDP.py:3612-3649 literally)."""
     PiMat = _safe_exp_rows(trans_log_pi)
     PiMat = jnp.where(PiMat < 1e-5, PiMat + 1e-4, PiMat)
     q = _safe_exp_rows(log_q)

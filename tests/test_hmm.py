@@ -68,6 +68,33 @@ def test_backward_matches_reference_recursion():
     np.testing.assert_allclose(np.asarray(bg), be, rtol=1e-10)
 
 
+def test_forward_assoc_matches_sequential_long():
+    # the associative-scan forward must reproduce the sequential scan
+    # on long sequences (the production path for N ~ thousands)
+    s, t, q = _rand_inputs(T=1500, K=5, seed=7)
+    fa, ma = hmm.forward(jnp.asarray(s), jnp.asarray(t), jnp.asarray(q))
+    fs, ms = hmm.forward_seq(jnp.asarray(s), jnp.asarray(t), jnp.asarray(q))
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fs), rtol=2e-8,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ma), np.asarray(ms), rtol=2e-8)
+
+
+def test_backward_assoc_matches_sequential_long():
+    s, t, q = _rand_inputs(T=1500, K=5, seed=8)
+    ba = hmm.backward(jnp.asarray(t), jnp.asarray(q))
+    bs = hmm.backward_seq(jnp.asarray(t), jnp.asarray(q))
+    np.testing.assert_allclose(np.asarray(ba), np.asarray(bs), rtol=2e-8,
+                               atol=1e-12)
+
+
+def test_forward_backward_single_step():
+    s, t, q = _rand_inputs(T=1, K=4, seed=9)
+    f, m = hmm.forward(jnp.asarray(s), jnp.asarray(t), jnp.asarray(q))
+    assert f.shape == (1, 4) and m.shape == (1,)
+    b = hmm.backward(jnp.asarray(t), jnp.asarray(q))
+    np.testing.assert_array_equal(np.asarray(b), np.ones((1, 4)))
+
+
 def test_hard_resp_one_hot():
     x = jnp.asarray([[0.1, 0.9, 0.3], [2.0, -1.0, 0.5]])
     r = np.asarray(hmm.hard_resp(x))
