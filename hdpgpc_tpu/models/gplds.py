@@ -173,11 +173,16 @@ class RefitResult(NamedTuple):
 def build_refit(T: int, est_limit: Optional[int] = None,
                 annealing: bool = True, dynamic: bool = True,
                 update_params: bool = True, pair_smooth: bool = True,
-                full_backward: bool = True, bucket: Optional[int] = None):
+                full_backward: bool = True, bucket: Optional[int] = None,
+                emit_smoothed: bool = False):
     """Build the jitted refit program for (static) beat length T.
 
     Returns ``refit(Y, resp, state) -> RefitResult`` with Y: (N, T) and
-    resp: (N,) hard responsibilities in {0, 1}.
+    resp: (N,) hard responsibilities in {0, 1}.  With
+    ``emit_smoothed=True`` it returns ``(RefitResult, (Y_s, f_sm, P_sm,
+    m_s))`` — the member-gathered beats and smoothed sequences in slot
+    order (the ML-EM path consumes these; GPI.new_params_LDS operates on
+    smoothed moments, GPI.py:302-455).
 
     Variants (all static):
     * ``update_params=False``: the q_simple path — include members with
@@ -574,7 +579,10 @@ def build_refit(T: int, est_limit: Optional[int] = None,
             A_prev=A_prev_new, Gamma_prev=G_prev_new,
             mniw_int=m_int_f, mniw_obs=m_obs_f,
         )
-        return RefitResult(q=q, q_lat=q_lat, snr=snr, state=new_state)
+        result = RefitResult(q=q, q_lat=q_lat, snr=snr, state=new_state)
+        if emit_smoothed:
+            return result, (Y_s, f_sm, P_sm, m_s)
+        return result
 
     return refit
 

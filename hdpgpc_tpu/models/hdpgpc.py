@@ -306,11 +306,66 @@ class HDPGPC:
                   file=_sys.stderr, flush=True)
         return Cluster(st, fitted=True, members=cl.members)
 
+    def _refit_prog_ml(self, bucket=None):
+        """Scoring program for the ML-EM path: fixed-parameter filter +
+        RTS + scores, emitting the smoothed member sequences the EM
+        M-step consumes (GPI.new_params_LDS, GPI.py:302-455)."""
+        key = ("ml", bucket)
+        if key not in self._refits:
+            self._refits[key] = gplds.build_refit(
+                self.Tb, est_limit=self.cfg.gp.estimation_limit,
+                annealing=self.cfg.gp.annealing,
+                dynamic=self.cfg.gp.model_type == "dynamic",
+                update_params=False, pair_smooth=True, full_backward=True,
+                bucket=bucket, emit_smoothed=True)
+        return self._refits[key]
+
+    def _full_refit_ml(self, cl: Cluster, ld: int, Y: np.ndarray,
+                       resp_col: np.ndarray, update_params=True):
+        """ML-EM refit (bayesian_params=False): filter/smooth under the
+        current LDS params, run the masked EM to convergence on the
+        smoothed member moments (GPI_model.new_params,
+        GPI_model.py:747-861), then rescore under the fitted params.
+
+        TPU-native divergence (documented): the reference interleaves
+        cadence-gated EM re-estimates inside its per-sample Python loop
+        (new_params_weighted, GPI_model.py:874-887); this refit runs the
+        EM once over the full member set — the same fixed point, reached
+        without per-sample host round-trips.
+        """
+        from hdpgpc_tpu.models import ml_em
+        st = gplds.reinit_cluster_state(cl.state,
+                                        float(self.cfg.gp.free_deg_mniw))
+        cl2 = Cluster(st, cl.fitted, cl.members)
+        cl2 = self._maybe_kernel_fit(cl2, ld, Y, resp_col)
+        members = np.flatnonzero(resp_col > 0.99)
+        bucket = self._bucket_for(members.size, Y.shape[0])
+        prog = self._refit_prog_ml(bucket=bucket)
+        Yj = jnp.asarray(Y, self.dtype)
+        rj = jnp.asarray(resp_col, self.dtype)
+        res, (Y_s, f_sm, P_sm, m_s) = prog(Yj, rj, cl2.state)
+        st2 = cl2.state
+        if (update_params and members.size >= 2
+                and self.cfg.gp.model_type == "dynamic"):
+            A, G, C, S = ml_em.ml_update_masked(
+                st2.A, st2.Gamma, st2.C, st2.Sigma, Y_s[..., None],
+                f_sm, P_sm, m_s)
+            dt = st2.A.dtype
+            st2 = st2._replace(A=jnp.asarray(A, dt), Gamma=jnp.asarray(G, dt),
+                               C=jnp.asarray(C, dt), Sigma=jnp.asarray(S, dt))
+            res, _ = prog(Yj, rj, st2)
+        out = Cluster(res.state, cl2.fitted, members)
+        return (np.asarray(res.q), np.asarray(res.q_lat),
+                np.asarray(res.snr), out)
+
     def _full_refit(self, cl: Cluster, ld: int, Y: np.ndarray,
                     resp_col: np.ndarray, update_params=True):
         """reinit + (kernel fit) + fused refit. Y: (N, T) for this lead.
 
         Returns (q, q_lat, snr, Cluster)."""
+        if update_params and not self.cfg.bayesian_params:
+            return self._full_refit_ml(cl, ld, Y, resp_col,
+                                       update_params=update_params)
         import os as _os
         _t0 = time.time()
         st = gplds.reinit_cluster_state(cl.state,
@@ -358,6 +413,11 @@ class HDPGPC:
         """
         if not jobs:
             return []
+        if update_params and not self.cfg.bayesian_params:
+            # ML-EM path: each refit runs its own host-level EM loop
+            return [self._full_refit_ml(cl, ld, Y, rc,
+                                        update_params=update_params)
+                    for (cl, ld, Y, rc) in jobs]
         if len(jobs) == 1:
             cl, ld, Y, rc = jobs[0]
             return [self._full_refit(cl, ld, Y, rc,
@@ -1512,15 +1572,31 @@ class HDPGPC:
                      ) -> Cluster:
         """Online commit of one beat: kernel fit if first-ever, Kalman
         include + 1-step MNIW update WITHOUT pair smoothing
-        (GPI_HDP.py:2185-2197 commit loop)."""
+        (GPI_HDP.py:2185-2197 commit loop).
+
+        ML mode (bayesian_params=False): the include is a plain filter
+        step, and parameter re-estimation follows the new_params_weighted
+        cadence (GPI_model.py:874-887) — a full masked EM over the
+        cluster's member history at cadence beats."""
+        from hdpgpc_tpu.models import ml_em
         resp1 = np.ones(1)
         cl = self._maybe_kernel_fit_online(cl, ld, y)
-        prog = self._refit_prog(update_params=True, pair_smooth=False,
+        bayes = self.cfg.bayesian_params
+        prog = self._refit_prog(update_params=bayes, pair_smooth=False,
                                 full_backward=False)
         res = prog(jnp.asarray(y[None, :], self.dtype),
                    jnp.asarray(resp1, self.dtype), cl.state)
         members = np.append(cl.members, t)
-        return Cluster(res.state, cl.fitted, members)
+        out = Cluster(res.state, cl.fitted, members)
+        if not bayes and ml_em.reestimate_cadence(members.size) \
+                and self._y_all is not None and members.size >= 2:
+            N_hist = self._y_all.shape[0]
+            if members[-1] < N_hist:
+                rc = np.zeros(N_hist)
+                rc[members] = 1.0
+                _q, _ql, _snr, out = self._full_refit_ml(
+                    out, ld, self._y_all[:, :, ld], rc)
+        return out
 
     def _maybe_kernel_fit_online(self, cl: Cluster, ld: int, y: np.ndarray
                                  ) -> Cluster:
@@ -1543,9 +1619,13 @@ class HDPGPC:
     def _candidate_include(self, cl: Cluster, ld: int, y: np.ndarray,
                            t: int) -> Cluster:
         """Absorb-candidate include: Kalman + backwards_pair + MNIW
-        (GPI_HDP.py:2026-2032)."""
+        (GPI_HDP.py:2026-2032). In ML mode the candidate include is a
+        plain filter step (the cadence EM, GPI_model.py:874-887, almost
+        never fires on a one-step lookahead; running it on a throwaway
+        deepcopy would cost a full EM per candidate)."""
         cl = self._maybe_kernel_fit_online(cl, ld, y)
-        prog = self._refit_prog(update_params=True, pair_smooth=True,
+        prog = self._refit_prog(update_params=self.cfg.bayesian_params,
+                                pair_smooth=True,
                                 full_backward=False)
         res = prog(jnp.asarray(y[None, :], self.dtype),
                    jnp.asarray(np.ones(1), self.dtype), cl.state)

@@ -36,6 +36,35 @@ def test_online_stream_recovers_clusters():
 
 
 @pytest.mark.slow
+def test_online_fast_path_recovers_clusters():
+    """include_sample_fast (cached O(1)-per-beat step,
+    GPI_HDP.py:2312-2629) must stream without full-history FB and still
+    recover the generating clusters."""
+    from hdpgpc_tpu.models.hdpgpc import HDPGPC
+    T, N = 24, 30
+    y, z = synthetic_beats(N, T=T, n_clusters=2, noise=0.03, seed=4)
+    std, std_dif, bs, bg = compute_estimators_lds(y)
+    m = HDPGPC(default_x_basis(T), n_outputs=1, ini_gamma=std_dif,
+               ini_sigma=std, ini_outputscale=10.0, bound_sigma=bs,
+               bound_gamma=bg, max_models=100)
+    m.cfg = dataclasses.replace(
+        m.cfg, gp=dataclasses.replace(m.cfg.gp, kernel_fit_iters=200))
+    x = np.arange(T, dtype=np.float64)
+    for i in range(N):
+        m.include_sample_fast(x, y[i], with_warp=False)
+    assert m.T_count == N
+    labels = m.resp_assigned[-1]
+    err = sum(int(np.sum(z[labels == k]
+                         != np.bincount(z[labels == k]).argmax()))
+              for k in np.unique(labels))
+    assert err / N < 0.25, f"fast online clustering error {err}/{N}"
+    # cache invariants: hard one-hot history of the right shape
+    assert m.resp_last.shape == (N, m.M)
+    np.testing.assert_allclose(m.resp_last.sum(axis=1), 1.0)
+    assert m.q_last.shape[0] == N
+
+
+@pytest.mark.slow
 def test_reload_and_classify():
     from hdpgpc_tpu.models.hdpgpc import HDPGPC
     T = 24
