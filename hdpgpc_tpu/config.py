@@ -39,6 +39,23 @@ class GPConfig:
     kernel_fit_iters: int = 4000
     kernel_fit_lr: float = 0.1
     kernel_fit_pin_lengthscale: float = 1.2
+    # float32 speed mode caps the Adam budget (the fitted outputscale
+    # keeps creeping long after the plateau check engages, and f32
+    # decisions are already approximate); effective budget is
+    # min(kernel_fit_iters, kernel_fit_iters_f32) when compute_dtype is
+    # float32. Validated on rec 100 (identical clustering); sweep other
+    # records with examples/run_all_records.py before trusting it on a
+    # new domain.
+    kernel_fit_iters_f32: int = 1500
+    # inducing-point (SGPR) kernel fit — the reference's ProjectedGPModel
+    # path (GPI_models_pytorch.py:24-35, GPI.fit_torch reduced_points,
+    # GPI.py:641-770): learnable inducing locations, 5000 Adam iters, NO
+    # lengthscale pin on write-back. TPU-native divergence: the learned
+    # locations tune the hyperparameters but the cluster keeps the full
+    # static grid as its basis (fixed shapes; the reference shrinks the
+    # basis by dropping collapsed points).
+    inducing_points: bool = False
+    kernel_fit_iters_inducing: int = 5000
 
 
 @dataclasses.dataclass(frozen=True)

@@ -100,8 +100,15 @@ def segment_beats(signal: np.ndarray, annotations: np.ndarray,
     """Segment a continuous multi-lead signal into beat windows around
     annotation samples (the reference's extraction recipe,
     get_data.py:184-203 / extract_data.py:24: window [lo, hi] relative
-    to annotation - r_offset; per-beat mean subtraction for
-    scale_type='mean').
+    to annotation - r_offset).
+
+    Scale modes (get_data.py:174-200):
+    * ``all`` — pre-scale the WHOLE signal (column-standardise) before
+      segmenting (the caller does this; here a no-op per beat);
+    * ``single`` — standardise each beat;
+    * ``first`` — standardise every beat by the FIRST beat's mean/std;
+    * ``mean`` — per-beat mean subtraction;
+    * anything else — raw.
 
     signal: (n_samples, n_leads); annotations: (n_beats,) R-peak sample
     indices. Returns (n_kept, hi - lo, n_leads) float64.
@@ -111,19 +118,185 @@ def segment_beats(signal: np.ndarray, annotations: np.ndarray,
         signal = signal.T
     lo, hi = window
     beats = []
+    first_mean = first_sd = None
     for a in np.asarray(annotations, np.int64):
         s = a - r_offset + lo
         e = a - r_offset + hi
         if s < 0 or e > signal.shape[0]:
             continue
         b = signal[s:e].copy()
+        if first_mean is None:
+            first_mean, first_sd = float(b.mean()), float(b.std())
         if scale_type == "mean":
             b -= b.mean(axis=0)
         elif scale_type == "single":
             sd = b.std(axis=0)
             b = (b - b.mean(axis=0)) / np.where(sd == 0, 1.0, sd)
+        elif scale_type == "first":
+            b = (b - first_mean) / (first_sd if first_sd else 1.0)
         beats.append(b)
     return np.asarray(beats, np.float64)
+
+
+def reconcile_annotations(ann_test: np.ndarray, ann_ref: np.ndarray,
+                          window: int = 60) -> np.ndarray:
+    """Reconcile detector annotations against reference annotations
+    (the XQRS-vs-atr repair of get_data.py:144-169, which uses
+    wfdb.processing.compare_annotations with a 60-sample window):
+    drop test annotations with no reference within ``window`` samples,
+    add reference annotations with no matched test, return sorted.
+    """
+    ann_test = np.sort(np.asarray(ann_test, np.int64))
+    ann_ref = np.sort(np.asarray(ann_ref, np.int64))
+    if ann_ref.size == 0:
+        return ann_test
+    if ann_test.size == 0:
+        return ann_ref
+    # greedy one-to-one nearest matching within the window
+    d = np.abs(ann_test[:, None] - ann_ref[None, :])
+    matched_ref = np.full(ann_ref.shape[0], False)
+    keep_test = np.full(ann_test.shape[0], False)
+    order = np.argsort(d, axis=None)
+    for flat in order:
+        i, j = np.unravel_index(flat, d.shape)
+        if d[i, j] > window:
+            break
+        if keep_test[i] or matched_ref[j]:
+            continue
+        keep_test[i] = True
+        matched_ref[j] = True
+    out = np.concatenate([ann_test[keep_test], ann_ref[~matched_ref]])
+    return np.sort(out)
+
+
+def take_standard_labels(data: np.ndarray, labels,
+                         filter: Optional[List[str]] = None):
+    """Filter beats to the standard MIT-BIH label set
+    (get_data.take_standard_labels, get_data.py:251-293) — reference
+    quirks preserved: rows with excluded labels are ZEROED but kept in
+    ``data`` (the returned labels list is shorter than data), and NaNs
+    are replaced by 0.
+
+    Returns (data, data_2d, labels) exactly as the reference does.
+    """
+    included = INCLUDED_LABELS if filter is None else filter
+    data = np.asarray(data, np.float64)
+    labels = list(labels)
+    subdata = np.zeros(data.shape)
+    if data.ndim > 2:
+        for d in range(data.shape[0]):
+            if labels[d] in included:
+                subdata[d] = np.nan_to_num(data[d], nan=0.0)
+    else:
+        for d in range(data.shape[0]):
+            if labels[d] in included:
+                subdata[d] = np.nan_to_num(data[d], nan=0.0)
+    data = subdata
+    labels = [lab for lab in labels if lab in included]
+    if data.ndim > 2:
+        data_2d = data
+    else:
+        data_2d = [np.atleast_2d(d).T for d in data]
+    return data, data_2d, labels
+
+
+_DB_PATHS = {
+    "mitdb": "mitdb/",
+    "ucr": "ucr/UCRArchive_2018/",
+    "long-term": "long-term/mit-bih-long-term-ecg-database-1.0.0/",
+    "fantasia": "fantasia-database-1.0.0/",
+    "apnea": "apnea-ecg-database-1.0.0/",
+    "stt": "stt-1.0.0/",
+}
+
+
+def get_data(database: str = "mitdb", record: str = "100", deriv=0,
+             scale_data: bool = True, scale_type: str = "all",
+             samples=(0, 220), ann: str = "atr",
+             filter_labels: bool = True, data_root: Optional[str] = None,
+             return_annotations: bool = False, return_snr: bool = False):
+    """WFDB-record ingestion (get_data.get_data, get_data.py:20-233):
+    load a raw record, reconcile annotations (atr symbols or an XQRS
+    re-detection repaired against atr), segment beats around R-87 with
+    the requested scaling mode, filter to the standard label set.
+
+    Requires the optional ``wfdb`` package (not bundled in this image);
+    raises ImportError with guidance otherwise. The bundled
+    pre-segmented ``<rec>.npy`` fixtures via :func:`load_record` are the
+    canonical path; this mirrors the reference's raw-data surface for
+    parity. ``data_root`` (or HDPGPC_WFDB_DIR) points at the directory
+    holding the database folders (get_data.py:24-33).
+    """
+    try:
+        import wfdb
+        from wfdb import processing
+    except ImportError as e:              # pragma: no cover - env-gated
+        raise ImportError(
+            "get_data() needs the 'wfdb' package for raw record "
+            "ingestion; use load_record() with the bundled .npy beat "
+            "fixtures instead") from e
+    root = data_root or os.environ.get("HDPGPC_WFDB_DIR", "")
+    if database == "ucr":                 # pragma: no cover - env-gated
+        path = os.path.join(root, _DB_PATHS["ucr"], record,
+                            record + "_TRAIN.tsv")
+        raw = np.genfromtxt(path, delimiter="\t")
+        labels = raw[:, 0].astype(int)
+        rows = raw[:, 1:].astype(np.float64)
+        if scale_data:
+            sd = rows.std(axis=1, keepdims=True)
+            rows = (rows - rows.mean(axis=1, keepdims=True)) \
+                / np.where(sd == 0, 1.0, sd)
+        return rows, labels
+    full_path = os.path.join(root, _DB_PATHS.get(database, database),
+                             record)
+    rec = wfdb.rdrecord(full_path, return_res=32, physical=False)
+    labels_original = wfdb.rdann(full_path, "atr",
+                                 return_label_elements=["symbol"]).symbol
+    included = INCLUDED_LABELS
+    labels = [l_ for l_ in labels_original
+              if (not filter_labels) or l_ in included]
+    if ann == "xqrs":
+        sig, fields = wfdb.rdsamp(full_path, channels=[0])
+        xqrs = processing.XQRS(sig=sig[:, 0], fs=fields["fs"])
+        xqrs.detect()
+        annotation = np.asarray(xqrs.qrs_inds)
+        ann_atr = wfdb.rdann(full_path, "atr").sample
+        ann_atr = np.asarray([a for a, l_ in zip(ann_atr, labels_original)
+                              if (not filter_labels) or l_ in included])
+        if len(labels) != len(annotation):
+            annotation = reconcile_annotations(annotation, ann_atr, 60)
+    else:
+        ann_all = wfdb.rdann(full_path, "atr").sample
+        annotation = np.asarray(
+            [a for a, l_ in zip(ann_all, labels_original)
+             if (not filter_labels) or l_ in included])
+    # drop leading annotations whose window would underflow
+    # (get_data.py:139-145)
+    while annotation.size and annotation[0] - 87 + samples[0] < 0:
+        annotation = annotation[1:]
+        labels = labels[1:]
+    signal = rec.d_signal.astype(np.float64)
+    if scale_data and scale_type == "all":
+        sd = signal.std(axis=0, keepdims=True)
+        signal = (signal - signal.mean(axis=0, keepdims=True)) \
+            / np.where(sd == 0, 1.0, sd)
+    elif scale_data and scale_type == "mean_all":
+        signal = signal - np.mean(signal)
+    seg_scale = scale_type if scale_type in ("single", "first", "mean") \
+        else "none"
+    if deriv is not None:
+        signal = signal[:, [deriv]]
+    data = segment_beats(signal, annotation, window=tuple(samples),
+                         r_offset=87, scale_type=seg_scale)
+    if deriv is not None:
+        data = data[:, :, 0]
+    labels = np.array(labels)
+    out = [data, labels]
+    if return_annotations:
+        out.append(annotation)
+    if return_snr:
+        out.append(signaltonoise(signal, axis=0))
+    return tuple(out) if len(out) > 2 else (data, labels)
 
 
 def signaltonoise(a: np.ndarray, axis: int = 0, ddof: int = 0) -> np.ndarray:

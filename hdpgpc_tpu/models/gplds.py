@@ -50,7 +50,7 @@ from hdpgpc_tpu.models import mniw as mniw_ops
 from hdpgpc_tpu.models.mniw import MNIW
 from hdpgpc_tpu.ops import linalg
 from hdpgpc_tpu.ops.kalman import LDSParams, kalman_step, rts_pair
-from hdpgpc_tpu.ops.kernels import KernelParams, gram
+from hdpgpc_tpu.ops.kernels import KernelParams, gram, gram_tpu
 
 LOG2PI = linalg.LOG2PI
 
@@ -95,7 +95,10 @@ def init_cluster_state(x_basis: jax.Array, theta: KernelParams,
     T = x_basis.shape[0]
     eye = jnp.eye(T, dtype=dtype)
     theta = KernelParams(*[jnp.asarray(v, dtype) for v in theta])
-    K0 = gram(theta, x_basis, x_basis, include_noise=False).astype(dtype)
+    # gram_tpu self-gates: Pallas kernel for T >= 128 native-dtype on
+    # TPU (the long-series / ocean-spectra configs), XLA otherwise
+    K0 = gram_tpu(theta, x_basis.astype(dtype),
+                  include_noise=False).astype(dtype)
     A0, C0 = eye, eye
     G0 = jnp.asarray(ini_gamma, dtype) * eye
     S0 = jnp.asarray(ini_sigma, dtype) * eye
@@ -146,7 +149,8 @@ def apply_kernel_fit(st: ClusterState, x_basis, theta: KernelParams
     dtype = st.A.dtype
     eye = jnp.eye(T, dtype=dtype)
     theta = KernelParams(*[jnp.asarray(v, dtype) for v in theta])
-    K0 = gram(theta, x_basis, x_basis, include_noise=False).astype(dtype)
+    K0 = gram_tpu(theta, jnp.asarray(x_basis).astype(dtype),
+                  include_noise=False).astype(dtype)
     S = st.Sigma[0, 0] * eye
     G = jnp.mean(jnp.diag(st.Gamma)) * eye
     z = jnp.zeros((T, 1), dtype=dtype)
@@ -698,6 +702,41 @@ def observe(state: ClusterState, x_post: jax.Array, x_basis: jax.Array,
     if x_post.shape[0] == x_basis.shape[0]:
         f_star = jnp.where(same, mean, f_star)
         cov_f = jnp.where(same, state.Sigma, cov_f)
+    return f_star, cov_f
+
+
+def observe_latent(state: ClusterState, x_post: jax.Array,
+                   x_basis: jax.Array, use_smoothed: bool = True):
+    """Resample the LATENT state distribution at arbitrary inputs
+    (GPI.pred_latent_dist, GPI.py:505-562): project the latent mean and
+    covariance through the GP cross-covariance with the reference's
+    fixed 1e-4 kernel jitter. On the shared grid returns the stored
+    latent moments unchanged."""
+    from hdpgpc_tpu.ops.kernels import gram
+    f = state.f_sm_last if use_smoothed else state.f_last
+    P = state.P_sm_last if use_smoothed else state.P_last
+    x_post = x_post.reshape(-1)
+    x_basis = x_basis.reshape(-1)
+    if x_post.shape[0] == x_basis.shape[0]:
+        same = jnp.all(x_post == x_basis)
+    else:
+        same = jnp.asarray(False)
+    K_XX = gram(state.theta, x_basis[:, None], x_basis[:, None])
+    K_XXs = gram(state.theta, x_basis[:, None], x_post[:, None])
+    K_XsX = K_XXs.T
+    K_XsXs = gram(state.theta, x_post[:, None], x_post[:, None])
+    eye = jnp.eye(K_XX.shape[0], dtype=f.dtype)
+    L = jnp.linalg.cholesky(K_XX + 1e-4 * eye)
+    sol_delta = jax.scipy.linalg.cho_solve((L, True), f)
+    f_star = K_XsX @ sol_delta
+    sol_K = jax.scipy.linalg.cho_solve((L, True), K_XXs)
+    term_data = K_XsX @ sol_K
+    sol_middle = jax.scipy.linalg.cho_solve((L, True), P @ sol_K)
+    term_prior = K_XsX @ sol_middle
+    cov_f = K_XsXs - term_data + term_prior
+    if x_post.shape[0] == x_basis.shape[0]:
+        f_star = jnp.where(same, f, f_star)
+        cov_f = jnp.where(same, P, cov_f)
     return f_star, cov_f
 
 

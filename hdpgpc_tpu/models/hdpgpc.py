@@ -46,19 +46,6 @@ from hdpgpc_tpu.warp.monotone import (build_batch_warp, make_warp_prior,
                                       warp_prior_score)
 
 
-class _Timed:
-    def __init__(self, model, name):
-        self.m, self.name = model, name
-
-    def __enter__(self):
-        self.t0 = time.time()
-
-    def __exit__(self, *a):
-        dt = time.time() - self.t0
-        self.m.timings[self.name] = self.m.timings.get(self.name, 0.0) + dt
-        self.m.counts[self.name] = self.m.counts.get(self.name, 0) + 1
-
-
 class Cluster:
     """Host-side handle: compiled cluster state + bookkeeping.
 
@@ -129,7 +116,8 @@ class HDPGPC:
                 bound_gamma=tuple(bound_gamma),
                 model_type=model_type, annealing=annealing,
                 free_deg_mniw=int(free_deg_MNIV),
-                estimation_limit=estimation_limit)
+                estimation_limit=estimation_limit,
+                inducing_points=bool(inducing_points))
             warp_cfg = WarpConfig(noise_warp=float(noise_warp),
                                   bound_noise_warp=tuple(bound_noise_warp),
                                   mode=mode_warp, method=method_compute_warp)
@@ -151,13 +139,14 @@ class HDPGPC:
             # finite (142x faster than emulated f64 per refit).
             jax.config.update("jax_default_matmul_precision", "highest")
             # The 4000-iteration Adam kernel fit is sequential device
-            # latency; the speed mode caps it (the fitted outputscale
-            # keeps creeping long after the plateau check engages, so
-            # decisions are already approximate in f32).
-            if config.gp.kernel_fit_iters == 4000:
+            # latency; the speed mode caps it at the explicit
+            # kernel_fit_iters_f32 budget (see GPConfig for the
+            # rationale and validation caveats).
+            cap = config.gp.kernel_fit_iters_f32
+            if cap and config.gp.kernel_fit_iters > cap:
                 import dataclasses as _dc
                 config = _dc.replace(config, gp=_dc.replace(
-                    config.gp, kernel_fit_iters=1500))
+                    config.gp, kernel_fit_iters=cap))
                 self.cfg = config
         self.verbose = config.verbose
         self.n_outputs = config.n_outputs
@@ -209,6 +198,10 @@ class HDPGPC:
         self._timing_on = _os.environ.get("HDPGPC_TIMING") == "1"
         self.timings: Dict[str, float] = {}
         self.counts: Dict[str, int] = {}
+        # structured per-sweep / per-beat observability
+        # (utils.metrics; dump with model.metrics.dump(path))
+        from hdpgpc_tpu.utils.metrics import MetricsLog
+        self.metrics = MetricsLog()
 
         # compiled program caches
         self._refits = {}
@@ -256,6 +249,25 @@ class HDPGPC:
                 full_backward=full_backward, bucket=bucket)
         return self._refits[key]
 
+    def _fit_theta(self, y: np.ndarray) -> KernelParams:
+        """Kernel hyperparameter fit on one beat: exact-GP Adam
+        (GPI.fit_torch exact path) or, with cfg.gp.inducing_points, the
+        SGPR/ProjectedGPModel path with learnable inducing locations and
+        no lengthscale pin (GPI.py:641-770)."""
+        g = self.cfg.gp
+        if g.inducing_points:
+            from hdpgpc_tpu.models.kernel_fit import fit_kernel_sgpr
+            theta, _Z = fit_kernel_sgpr(
+                self.x_basis, y, self._def_bound_sigma,
+                max_iters=g.kernel_fit_iters_inducing,
+                lr=g.kernel_fit_lr, dtype=self.dtype)
+        else:
+            theta = fit_kernel(self.x_basis, y, self._def_bound_sigma,
+                               pin_lengthscale=g.kernel_fit_pin_lengthscale,
+                               max_iters=g.kernel_fit_iters,
+                               lr=g.kernel_fit_lr, dtype=self.dtype)
+        return KernelParams(*(np.float64(v) for v in theta))
+
     def _maybe_kernel_fit(self, cl: Cluster, ld: int, Y: np.ndarray,
                           resp_col: np.ndarray) -> Cluster:
         """First-active-sample kernel hyperparameter fit
@@ -277,17 +289,9 @@ class HDPGPC:
             if _dbg:
                 print(f"[kf] enter fit @{_t0:.2f}", file=_sys.stderr,
                       flush=True)
-            theta = fit_kernel(self.x_basis, Y[seed], self._def_bound_sigma,
-                               pin_lengthscale=self.cfg.gp.kernel_fit_pin_lengthscale,
-                               max_iters=self.cfg.gp.kernel_fit_iters,
-                               lr=self.cfg.gp.kernel_fit_lr,
-                               dtype=self.dtype)
+            theta = self._fit_theta(Y[seed])
             if _dbg:
-                print(f"[kf] fit_kernel returned @{time.time():.2f}",
-                      file=_sys.stderr, flush=True)
-            theta = KernelParams(*(np.float64(v) for v in theta))
-            if _dbg:
-                print(f"[kf] scalar fetch done @{time.time():.2f}",
+                print(f"[kf] fit done @{time.time():.2f}",
                       file=_sys.stderr, flush=True)
             self._kernel_fit_cache[key] = theta
             if _dbg:
@@ -802,27 +806,102 @@ class HDPGPC:
     # Persistence (save_swgp, GPI_HDP.py:3946-3950)
     # ------------------------------------------------------------------
 
+    _CACHE_KEYS = ("q_last", "q_lat_last", "resp_last", "respPair_last")
+
     def save_swgp(self, path: str) -> None:
-        payload = {
-            "cfg": self.cfg,
+        """Checkpoint the model (save_swgp, GPI_HDP.py:3946-3950) as a
+        safe npz archive: raw arrays + a JSON metadata blob. No pickled
+        objects — loading an untrusted checkpoint cannot execute code.
+        """
+        import json
+        arrays: Dict[str, np.ndarray] = {
             "x_basis": self.x_basis,
-            "M": self.M,
-            "glob": self.glob,
-            "clusters": [[(jax.device_get(cl.state), cl.fitted, cl.members)
-                          for cl in row] for row in self.clusters],
-            "snr_norm": self.snr_norm,
-            "f_ind_old": self.f_ind_old,
-            "T_count": self.T_count,
-            "train_elbo": self.train_elbo,
-            "resp_assigned": [np.asarray(r) for r in self.resp_assigned],
-            "caches": (self.q_last, self.q_lat_last, self.resp_last,
-                       self.respPair_last, self.elbo_last),
+            "snr_norm": np.asarray(self.snr_norm),
+            "f_ind_old": np.asarray(self.f_ind_old),
+            "glob_rho": np.asarray(self.glob.rho),
+            "glob_omega": np.asarray(self.glob.omega),
+            "glob_trans_theta": np.asarray(self.glob.trans_theta),
+            "glob_start_theta": np.asarray(self.glob.start_theta),
+        }
+        fitted = []
+        for ld, row in enumerate(self.clusters):
+            fitted.append([bool(cl.fitted) for cl in row])
+            for m, cl in enumerate(row):
+                leaves = jax.tree.leaves(jax.device_get(cl.state))
+                for i, leaf in enumerate(leaves):
+                    arrays[f"st_{ld}_{m}_{i}"] = np.asarray(leaf)
+                arrays[f"members_{ld}_{m}"] = cl.members
+        for k in self._CACHE_KEYS:
+            v = getattr(self, k)
+            if v is not None:
+                arrays[f"cache_{k}"] = np.asarray(v)
+        for i, r in enumerate(self.resp_assigned[-1:]):
+            arrays["resp_assigned_last"] = np.asarray(r)
+        meta = {
+            "format": 2,
+            "cfg": self.cfg.to_json(),
+            "M": int(self.M),
+            "T_count": int(self.T_count),
+            "train_elbo": [float(e) for e in self.train_elbo],
+            "elbo_last": (None if self.elbo_last is None
+                          else float(self.elbo_last)),
+            "fitted": fitted,
+            "glob_scalars": [float(self.glob.gamma),
+                             float(self.glob.trans_alpha),
+                             float(self.glob.start_alpha),
+                             float(self.glob.kappa)],
         }
         with open(path, "wb") as f:
-            pickle.dump(payload, f)
+            np.savez(f, __meta__=np.frombuffer(
+                json.dumps(meta).encode(), dtype=np.uint8), **arrays)
 
     @staticmethod
     def load_swgp(path: str) -> "HDPGPC":
+        """Load a checkpoint. npz archives (the current format) load
+        without executing any code. Legacy pickle checkpoints from
+        round-1 builds are still readable but ONLY from trusted sources
+        (pickle.load executes arbitrary code)."""
+        import json
+        import zipfile
+        if not zipfile.is_zipfile(path):
+            return HDPGPC._load_swgp_pickle(path)
+        z = np.load(path, allow_pickle=False)
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        cfg = ModelConfig.from_json(meta["cfg"])
+        model = HDPGPC(z["x_basis"], config=cfg)
+        model.M = meta["M"]
+        model.glob = sb.HDPGlobals(
+            z["glob_rho"], z["glob_omega"], z["glob_trans_theta"],
+            z["glob_start_theta"], *meta["glob_scalars"])
+        proto = model._new_cluster().state
+        treedef = jax.tree.structure(proto)
+        n_leaves = len(jax.tree.leaves(proto))
+        clusters: List[List[Cluster]] = []
+        for ld, fit_row in enumerate(meta["fitted"]):
+            row = []
+            for m, fitted in enumerate(fit_row):
+                leaves = [jnp.asarray(z[f"st_{ld}_{m}_{i}"])
+                          for i in range(n_leaves)]
+                st = jax.tree.unflatten(treedef, leaves)
+                row.append(Cluster(st, fitted, z[f"members_{ld}_{m}"]))
+            clusters.append(row)
+        model.clusters = clusters
+        model.snr_norm = z["snr_norm"]
+        model.f_ind_old = z["f_ind_old"]
+        model.T_count = meta["T_count"]
+        model.train_elbo = list(meta["train_elbo"])
+        model.elbo_last = meta["elbo_last"]
+        if "resp_assigned_last" in z:
+            model.resp_assigned = [z["resp_assigned_last"]]
+        for k in HDPGPC._CACHE_KEYS:
+            if f"cache_{k}" in z:
+                setattr(model, k, z[f"cache_{k}"])
+        return model
+
+    @staticmethod
+    def _load_swgp_pickle(path: str) -> "HDPGPC":
+        """Legacy (round-1) pickle checkpoint loader. TRUSTED INPUT
+        ONLY: pickle.load executes code embedded in the file."""
         with open(path, "rb") as f:
             p = pickle.load(f)
         model = HDPGPC(p["x_basis"], config=p["cfg"])
@@ -881,6 +960,7 @@ class HDPGPC:
         y_w = np.broadcast_to(y[..., None], (N, T, L, M))
         iteration = 0
         reallocate = False
+        t_sweep = time.time()
         while True:
             resp, respPair, end = self._refill(resp, respPair)
             M = self.M
@@ -905,6 +985,14 @@ class HDPGPC:
                     snr="saved", post=False, verb=True)
                 elbo_ = elbo_ + elbo_lin + q_obs
                 print("ELBO + Nonlinear: " + str(elbo_))
+                from hdpgpc_tpu.utils.metrics import SweepMetrics
+                self.metrics.append(**SweepMetrics(
+                    iteration=iteration, elbo=float(elbo_),
+                    q_obs=float(q_obs), elbo_linear=float(elbo_lin),
+                    n_clusters=self.M,
+                    resp_counts=resp.sum(axis=0).astype(int).tolist(),
+                    seconds=time.time() - t_sweep).to_dict())
+                t_sweep = time.time()
                 iteration += 1
                 print(f"\n-------Start lower Bound Iteration {iteration}-------")
                 self.train_elbo.append(elbo_)
@@ -1605,12 +1693,7 @@ class HDPGPC:
         key = (ld, hash(y.tobytes()), self._def_bound_sigma)
         theta = self._kernel_fit_cache.get(key)
         if theta is None:
-            theta = fit_kernel(self.x_basis, y, self._def_bound_sigma,
-                               pin_lengthscale=self.cfg.gp.kernel_fit_pin_lengthscale,
-                               max_iters=self.cfg.gp.kernel_fit_iters,
-                               lr=self.cfg.gp.kernel_fit_lr,
-                               dtype=self.dtype)
-            theta = KernelParams(*(np.float64(v) for v in theta))
+            theta = self._fit_theta(y)
             self._kernel_fit_cache[key] = theta
         st = gplds.apply_kernel_fit(cl.state, jnp.asarray(self.x_basis),
                                     KernelParams(*map(jnp.asarray, theta)))
@@ -1680,26 +1763,18 @@ class HDPGPC:
     def _score_last_prog(self):
         if "score_last_v" not in self._refits:
             self._refits["score_last_v"] = jax.jit(
-                jax.vmap(gplds.log_sq_error_last, in_axes=(0, None)))
+                jax.vmap(gplds.log_sq_error_last, in_axes=(0, 0)))
         return self._refits["score_last_v"]
 
     def _score_last_all(self, ld: int, y_per_cluster: np.ndarray
                         ) -> np.ndarray:
-        """log_sq_error(i=-1) against every cluster in ONE vmapped call.
-        y_per_cluster: (M, T) (possibly per-cluster warped)."""
-        M = len(self.clusters[ld])
+        """log_sq_error(i=-1) against every cluster in ONE vmapped call,
+        vmapped over BOTH the cluster states and their (possibly
+        per-cluster warped) inputs. y_per_cluster: (M, T)."""
         states = jax.tree.map(lambda *xs: jnp.stack(xs),
                               *[cl.state for cl in self.clusters[ld]])
         vals = self._score_last_prog()(
-            states, jnp.asarray(y_per_cluster[0], self.dtype)) \
-            if np.all(y_per_cluster == y_per_cluster[0:1]) else None
-        if vals is None:
-            outs = []
-            for m in range(M):
-                outs.append(float(gplds.log_sq_error_last(
-                    jax.tree.map(lambda x: x[m], states),
-                    jnp.asarray(y_per_cluster[m], self.dtype))))
-            return np.asarray(outs)
+            states, jnp.asarray(y_per_cluster, self.dtype))
         return np.asarray(vals)
 
     def _online_pis(self, M):
@@ -1722,7 +1797,12 @@ class HDPGPC:
         if classify:
             q[:, -1, :] = -np.inf
         startPi, transPi = self._online_pis(M)
-        q_w = self.weight_mean(q)
+        if self.snr_norm.shape[0] != q.shape[0]:
+            # classify calls score one extra (uncommitted) row; weight it
+            # uniformly rather than growing the SNR state
+            q_w = self.weight_mean(q, np.ones((q.shape[0], 1, q.shape[2])))
+        else:
+            q_w = self.weight_mean(q)
         q_norm = q_w - q_w.max(axis=1, keepdims=True)
         resp, logresp, respPair, logrespPair = self._fb(q_norm, startPi,
                                                         transPi)
@@ -1752,7 +1832,7 @@ class HDPGPC:
             for ld in range(L):
                 y_w_ld, x_w_ld, liks = self._compute_warp_y_online(
                     y[:, ld], ld, force_model)
-                y_mod[:, ld, :M] = y_w_ld.T
+                y_mod[:, ld, :M] = y_w_ld
 
         # ---- q over history + new row ----
         Tn = t + 1
@@ -1771,10 +1851,12 @@ class HDPGPC:
 
         if t > 0:
             resp, resplog, respPair, respPairlog = self._vlt_online(q_aux)
+            snr_loc = None if self.snr_norm.shape[0] == Tn \
+                else np.ones((Tn, 1, L))
             q_all, elbo = self.compute_q_elbo(
                 resp[:-1, :-1], respPair[:-1, :-1, :-1],
-                self.weight_mean(q_aux)[:-1, :-1],
-                self.weight_mean(q_lat)[:-1, :-1],
+                self.weight_mean(q_aux, snr_loc)[:-1, :-1],
+                self.weight_mean(q_lat, snr_loc)[:-1, :-1],
                 self.clusters, self.M, snr="saved", post=False,
                 one_sample=True, verb=self.verbose)
         else:
@@ -1950,9 +2032,6 @@ class HDPGPC:
                         self.clusters[ld][m], ld, y_commit, t)
 
         # ---- refresh caches ----
-        q_full = np.zeros((Tn, self.M, L)) - np.inf
-        q_full[:, :q_chos.shape[1] - (0 if birth else 1), :] = \
-            q_chos[:, :self.M, :]
         self.q_last = q_chos[:, :self.M, :].copy()
         ql = q_lat_chos[:, :self.M, :].copy()
         for ld in range(L):
@@ -1963,6 +2042,8 @@ class HDPGPC:
         self.resp_last = resp[:, :self.M].copy()
         self.respPair_last = respPair[:, :self.M, :self.M].copy()
         self.resp_assigned.append(np.argmax(resp[:, :self.M], axis=1))
+        self.metrics.append(kind="online_step", t=t, model=model,
+                            birth=bool(birth), n_clusters=self.M)
         return model
 
     def include_sample_fast(self, x_train, y, with_warp: bool = True,
@@ -2003,7 +2084,7 @@ class HDPGPC:
             for ld in range(L):
                 y_w_ld, x_w_ld, liks = self._compute_warp_y_online(
                     y[:, ld], ld, force_model)
-                y_mod[:, ld, :M] = y_w_ld.T
+                y_mod[:, ld, :M] = y_w_ld
 
         # ---- q over history (cached) + new row (scored) ----
         Tn = t + 1
@@ -2198,14 +2279,27 @@ class HDPGPC:
         self.resp_last = resp[:, :self.M].copy()
         self.respPair_last = respPair[:, :self.M, :self.M].copy()
         self.resp_assigned.append(np.argmax(resp[:, :self.M], axis=1))
+        self.metrics.append(kind="online_step", t=t, model=model,
+                            birth=bool(birth), n_clusters=self.M)
         return model
 
-    def _compute_warp_y_online(self, y_ld, ld, force_model=None):
-        """Greedy online warp strategy (compute_warp_y,
-        GPI_HDP.py:3153-3322): warp vs clusters ranked by current fit
-        until the gain ratio gate closes."""
+    def _warp_one(self, y_ld, ld, m, prior):
+        """Warp one beat against cluster m; returns (y_w, x_w, lik)
+        (compute_warp inner call, GPI_HDP.py:3215-3224)."""
+        cl = self.clusters[ld][m]
+        x0 = jnp.asarray(self.x_basis)
+        mean = np.asarray((cl.state.C @ cl.state.f_last)[:, 0])
+        noise = np.asarray(np.diag(np.asarray(cl.state.Sigma)))
+        res = self._warp_fn(x0, jnp.asarray(y_ld[None, :]),
+                            jnp.asarray(mean), prior,
+                            jnp.asarray(self._def_lengthscale),
+                            jnp.asarray(1.0), jnp.asarray(noise))
+        basis_lik = float(warp_prior_score(prior, res.x_warp)[0])
+        return (np.asarray(res.y_warp[0]), np.asarray(res.x_warp[0]),
+                float(res.lik[0]) + basis_lik)
+
+    def _warp_setup(self):
         from hdpgpc_tpu.warp.monotone import make_warp_prior
-        M = self.M
         T = self.Tb
         w = self.cfg.warp
         if self._warp_fn is None:
@@ -2217,33 +2311,79 @@ class HDPGPC:
             prior = make_warp_prior(jnp.asarray(self.x_basis), w.noise_warp,
                                     w.bound_noise_warp)
             self._warp_priors[T] = prior
+        return prior
+
+    def _compute_warp_y_online(self, y_ld, ld, force_model=None,
+                               method: Optional[str] = None):
+        """Online warp strategies (compute_warp_y, GPI_HDP.py:3153-3322):
+
+        * ``standard`` — warp against every non-empty cluster;
+        * ``greedy`` — rank clusters by estimate_new score, warp in
+          order until the gain-ratio gate closes (:3300-3313);
+        * ``greedy_bound`` — greedy order with a hard cap of 4 warps
+          (:3270-3276 ``if i >= 3: break``);
+        * ``force_model`` — warp only against that cluster (:3198-3226).
+        """
+        M = self.M
+        T = self.Tb
+        method = method or self.cfg.warp.method
+        prior = self._warp_setup()
         base = float(warp_prior_score(
             prior, jnp.zeros((1, T), jnp.float64))[0])
         liks = np.full(M + 1, base)
         y_w = np.tile(y_ld[:, None], (1, M))
         x_w = np.zeros((T, M))
-        # rank clusters by estimate_new scores
+
+        if force_model is not None:
+            m = int(force_model)
+            if self.clusters[ld][m].members.size > 0:
+                y_w[:, m], x_w[:, m], liks[m] = self._warp_one(
+                    y_ld, ld, m, prior)
+            else:
+                liks[m] += liks[:-1].max()
+            liks[-1] += liks[:-1].max()
+            return y_w, x_w, liks
+
+        if method == "standard":
+            for m in range(M):
+                if self.clusters[ld][m].members.size > 0:
+                    y_w[:, m], x_w[:, m], liks[m] = self._warp_one(
+                        y_ld, ld, m, prior)
+                else:
+                    liks[m] += liks[:-1].max()
+            liks[-1] += liks[:-1].max()
+            return y_w, x_w, liks
+
+        # greedy / greedy_bound: rank clusters by estimate_new scores
         q_C = np.array([float(gplds.estimate_new(self.clusters[ld][g].state,
                                                  jnp.asarray(y_ld)))
                         for g in range(M)])
         order = np.argsort(-q_C)
-        x0 = jnp.asarray(self.x_basis)
+
+        if method == "greedy_bound":
+            for i, m in enumerate(order):
+                m = int(m)
+                if self.clusters[ld][m].members.size > 0:
+                    y_w[:, m], x_w[:, m], liks[m] = self._warp_one(
+                        y_ld, ld, m, prior)
+                else:
+                    liks[m] += liks[order[:i + 1]].max()
+                if i >= 3:
+                    break
+            liks[-1] += liks[:-1].max()
+            return y_w, x_w, liks
+
+        if method != "greedy":
+            raise ValueError(f"unknown warp strategy {method!r} "
+                             "(standard | greedy | greedy_bound)")
         for i, m in enumerate(order):
             m = int(m)
             cl = self.clusters[ld][m]
             if cl.members.size == 0:
                 liks[m] += liks[:-1].max()
                 continue
-            mean = np.asarray((cl.state.C @ cl.state.f_last)[:, 0])
-            noise = np.asarray(np.diag(np.asarray(cl.state.Sigma)))
-            res = self._warp_fn(x0, jnp.asarray(y_ld[None, :]),
-                                jnp.asarray(mean), prior,
-                                jnp.asarray(self._def_lengthscale),
-                                jnp.asarray(1.0), jnp.asarray(noise))
-            y_w[:, m] = np.asarray(res.y_warp[0])
-            x_w[:, m] = np.asarray(res.x_warp[0])
-            basis_lik = float(warp_prior_score(prior, res.x_warp)[0])
-            liks[m] = float(res.lik[0]) + basis_lik
+            y_w[:, m], x_w[:, m], liks[m] = self._warp_one(y_ld, ld, m,
+                                                           prior)
             # greedy gate (GPI_HDP.py:3300-3313)
             if i < M - 1 and i < 8:
                 num = q_C[m] + liks[m] * 0.5 - q_C[order[i + 1]]
@@ -2261,6 +2401,51 @@ class HDPGPC:
                 liks[-1] += liks[:-1].max()
                 break
         return y_w, x_w, liks
+
+    def compute_warp_actual_state(self, x_trains, y_trains, q=None,
+                                  q_lat=None):
+        """Post-hoc warp of every assigned beat against its own cluster
+        (compute_warp_actual_state[_amtgp], GPI_HDP.py:949-1023),
+        batched per (lead, cluster) with the shared batch-warp program.
+
+        Returns (q, q_lat, warp_computed, y_trains_w). When q/q_lat are
+        given they are rescored under the warped beats via fresh-state
+        refit scoring (equivalent to the reference's compute_sq_err_all /
+        compute_q_lat_all on its fitted histories, since this framework's
+        refits are always fresh-state)."""
+        y = np.asarray(y_trains, np.float64)
+        if y.ndim == 2:
+            y = y[:, :, None]
+        N, T, L = y.shape
+        y_w_out = y.copy()
+        self.x_w = np.zeros_like(y)
+        self.liks_w = np.zeros((N, L))
+        prior = self._warp_setup()
+        x0 = jnp.asarray(self.x_basis)
+        for ld in range(L):
+            for m, cl in enumerate(self.clusters[ld]):
+                idx = cl.members
+                if idx.size == 0:
+                    continue
+                mean = np.asarray((cl.state.C @ cl.state.f_last)[:, 0])
+                noise = np.asarray(np.diag(np.asarray(cl.state.Sigma)))
+                res = self._warp_fn(x0, jnp.asarray(y[idx, :, ld]),
+                                    jnp.asarray(mean), prior,
+                                    jnp.asarray(self._def_lengthscale),
+                                    jnp.asarray(1.0), jnp.asarray(noise))
+                base = np.asarray(warp_prior_score(prior, res.x_warp))
+                y_w_out[idx, :, ld] = np.asarray(res.y_warp)
+                self.x_w[idx, :, ld] = np.asarray(res.x_warp)
+                self.liks_w[idx, ld] = np.asarray(res.lik) + base
+            if q is not None:
+                for m, cl in enumerate(self.clusters[ld]):
+                    rc = np.zeros(N)
+                    rc[cl.members] = 1.0
+                    q_col, ql_col, _snr, _cl = self._full_refit(
+                        cl, ld, y_w_out[:, :, ld], rc)
+                    q[:, m, ld] = q_col
+                    q_lat[:, m, ld] = ql_col
+        return q, q_lat, True, y_w_out
 
     # ------------------------------------------------------------------
     # Classification / continued learning (GPI_HDP.py:2975-3151)

@@ -156,6 +156,109 @@ def fit_kernel(x_basis, y, bound_sigma: Tuple[float, float],
                         noise=n)
 
 
+# ---------------------------------------------------------------------------
+# Inducing-point (SGPR) fit — the reference's ProjectedGPModel path
+# (GPI_models_pytorch.py:24-35; GPI.fit_torch reduced_points branch,
+# GPI.py:641-770): InducingPointKernel with LEARNABLE inducing locations,
+# Adam lr=0.1 up to 5000 iterations, and NO lengthscale pin on
+# write-back. The collapsed SGPR bound (Titsias):
+#     L = -1/2 y'(Q + s2 I)^-1 y - 1/2 logdet(Q + s2 I) - n/2 log 2pi
+#         - 1/(2 s2) tr(K - Q),        Q = Knm Kmm^-1 Kmn
+# ---------------------------------------------------------------------------
+
+
+def _sgpr_nll(params, x, y):
+    raw_s, raw_l, raw_n, c, Z = (params["raw_s"], params["raw_l"],
+                                 params["raw_n"], params["c"], params["Z"])
+    n_lb, n_ub = params["n_lb"], params["n_ub"]
+    s = _softplus(raw_s)
+    l = jnp.maximum(_softplus(raw_l), 1e-6)
+    s2 = n_lb + (n_ub - n_lb) * jax.nn.sigmoid(raw_n)
+    n = x.shape[0]
+    m = Z.shape[0]
+
+    def k(a, b):
+        d2 = (a[:, None] - b[None, :]) ** 2
+        return s * jnp.exp(-jnp.minimum(0.5 * d2 / (l**2), 700.0))
+
+    Kmm = k(Z, Z) + 1e-6 * s * jnp.eye(m, dtype=x.dtype)
+    Knm = k(x, Z)
+    Lm = jnp.linalg.cholesky(Kmm)
+    # A = Lm^-1 Kmn / sqrt(s2):  (m, n)
+    A = jax.scipy.linalg.solve_triangular(Lm, Knm.T, lower=True) \
+        / jnp.sqrt(s2)
+    B = jnp.eye(m, dtype=x.dtype) + A @ A.T
+    LB = jnp.linalg.cholesky(B)
+    r = (y - c)
+    Ar = A @ r / jnp.sqrt(s2)
+    cvec = jax.scipy.linalg.solve_triangular(LB, Ar, lower=True)
+    quad = (jnp.sum(r * r) / s2 - jnp.sum(cvec**2))
+    logdet = (jnp.sum(jnp.log(jnp.diag(LB) ** 2)) + n * jnp.log(s2))
+    # trace correction tr(Knn - Q)/s2: Knn diag = s
+    trace = (n * s - jnp.sum(A * A) * s2) / s2
+    ll = -0.5 * quad - 0.5 * logdet - 0.5 * n * jnp.log(2.0 * jnp.pi) \
+        - 0.5 * trace
+    return -ll / n
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "lr"))
+def _sgpr_fit_chunk(tp, opt_state, buf, i0, n_lb, n_ub, x, y,
+                    chunk: int = _FIT_CHUNK, lr: float = 0.1):
+    opt = optax.adam(lr)
+    fixed = {"n_lb": n_lb, "n_ub": n_ub}
+    grad_fn = jax.value_and_grad(lambda t: _sgpr_nll({**fixed, **t}, x, y))
+
+    def cond(state):
+        j, i, tp, os, buf, done = state
+        return (~done) & (j < chunk)
+
+    def body(state):
+        j, i, tp, os, buf, _ = state
+        loss, g = grad_fn(tp)
+        updates, os = opt.update(g, os)
+        tp = optax.apply_updates(tp, updates)
+        buf = jnp.roll(buf, -1).at[-1].set(loss)
+        plateau = (i > 1000) & (jnp.abs(jnp.sum(buf[1:] - buf[:-1])) < 1e-4)
+        return (j + 1, i + 1, tp, os, buf, plateau)
+
+    init = (jnp.asarray(0, jnp.int32), i0, tp, opt_state, buf,
+            jnp.asarray(False))
+    _, i, tp, opt_state, buf, done = jax.lax.while_loop(cond, body, init)
+    return tp, opt_state, buf, i, done
+
+
+def fit_kernel_sgpr(x_basis, y, bound_sigma: Tuple[float, float],
+                    max_iters: int = 5000, lr: float = 0.1,
+                    dtype=None):
+    """Inducing-point kernel fit. Returns (KernelParams, Z_sorted) with
+    the LEARNED lengthscale (no 1.2 pin — the reference pins only on the
+    exact path, GPI.py:706-714 vs :715-740) and the sorted learned
+    inducing locations (the reference re-bases the cluster on them,
+    GPI.py:718-733)."""
+    x = jnp.asarray(x_basis, dtype).reshape(-1)
+    y = jnp.asarray(y, dtype).reshape(-1)
+    lb = jnp.asarray(bound_sigma[0], x.dtype)
+    ub = jnp.asarray(bound_sigma[1], x.dtype)
+    tp = {"raw_s": jnp.asarray(0.0, x.dtype),
+          "raw_l": jnp.asarray(0.0, x.dtype),
+          "raw_n": jnp.asarray(0.0, x.dtype), "c": jnp.asarray(0.0, x.dtype),
+          "Z": x.copy()}
+    opt_state = optax.adam(lr).init(tp)
+    buf = jnp.zeros((11,), x.dtype)
+    i = jnp.asarray(0, jnp.int32)
+    while int(i) < max_iters:
+        chunk = min(_FIT_CHUNK, max_iters - int(i))
+        tp, opt_state, buf, i, done = _sgpr_fit_chunk(
+            tp, opt_state, buf, i, lb, ub, x, y, chunk=chunk, lr=lr)
+        if bool(done):
+            break
+    s = _softplus(tp["raw_s"])
+    l = jnp.maximum(_softplus(tp["raw_l"]), 1e-6)
+    n = lb + (ub - lb) * jax.nn.sigmoid(tp["raw_n"])
+    Z = jnp.sort(tp["Z"])
+    return KernelParams(outputscale=s, lengthscale=l, noise=n), Z
+
+
 def fit_kernel_scipy(x_basis, y, bound_sigma, bounds_lengthscale=(1.0, 20.0),
                      bounds_outputscale=(1e-2, 1e3),
                      n_restarts: int = 0, seed: int = 0) -> KernelParams:

@@ -39,8 +39,49 @@ def shard_records(mesh: Mesh, arr: jax.Array, axis: str = "records"):
     return jax.device_put(arr, NamedSharding(mesh, P(axis)))
 
 
+def rho_to_beta_device(rho: jax.Array) -> jax.Array:
+    """E[beta] with the leftover stick appended (stick_breaking
+    rho_to_beta, 'K+1' form) — jnp version for in-program HDP updates."""
+    one_minus = jnp.concatenate([jnp.ones((1,), rho.dtype),
+                                 jnp.cumprod(1.0 - rho)])
+    beta = jnp.concatenate([rho, jnp.ones((1,), rho.dtype)]) * one_minus
+    return beta
+
+
+def theta_from_counts_device(rho, trans_counts, start_counts,
+                             trans_alpha, start_alpha, kappa):
+    """Device-side _calcThetaFull (GPI_HDP.py:400-422) at M = K + 1:
+    posterior Dirichlet parameters from transition/start counts."""
+    K = rho.shape[0]
+    M = K + 1
+    Ebeta = rho_to_beta_device(rho)                   # (K+1,)
+    alphaEbeta = trans_alpha * Ebeta
+    tt = jnp.broadcast_to(alphaEbeta[None, :], (M, M))
+    pad_tc = jnp.zeros((M, M), rho.dtype).at[:K, :K].set(trans_counts)
+    pad_eye = jnp.zeros((M, M), rho.dtype).at[:K, :K].set(
+        kappa * jnp.eye(K, dtype=rho.dtype))
+    tt = tt + pad_tc + pad_eye
+    st = start_alpha * Ebeta
+    st = st.at[:K].add(start_counts)
+    return tt, st
+
+
+def log_pis_from_theta_device(trans_theta, start_theta, K: int):
+    """E[log pi] via digamma with the digamma-of-row-sum denominator
+    (compute_trans_A, GPI_HDP.py:3527-3535)."""
+    dg = jax.scipy.special.digamma
+    den_t = dg(jnp.sum(trans_theta[:K, :K + 1], axis=1))
+    trans_log_pi = dg(trans_theta[:K, :K]) - den_t[:, None]
+    den_s = dg(jnp.sum(start_theta[:K + 1]))
+    start_log_pi = dg(start_theta[:K]) - den_s
+    return trans_log_pi, start_log_pi
+
+
 def build_sharded_vi_step(T: int, K: int, mesh: Mesh,
-                          est_limit=None, annealing: bool = True):
+                          est_limit=None, annealing: bool = True,
+                          hdp_update: bool = False,
+                          trans_alpha: float = 1.0, start_alpha: float = 0.1,
+                          kappa: float = 0.0):
     """Build one jitted multi-record VI iteration.
 
     Inputs (per call):
@@ -48,9 +89,17 @@ def build_sharded_vi_step(T: int, K: int, mesh: Mesh,
       resp:  (R, N, K)   hard responsibilities, sharded over 'records'
       states: ClusterState pytree with leading (R, K) axes, sharded on R
       start_log_pi: (R, K), trans_log_pi: (R, K, K)
+        (with ``hdp_update=True`` these inputs are instead rho: (R, K)
+        stick-breaking point estimates and prev respPair: (R, N, K, K) —
+        the transition structure is recomputed on-device from counts via
+        the HDP theta update, GPI_HDP.py:890-908)
 
     Returns (q (R, N, K), q_lat, resp', respPair', elbo (scalar, psum
     over records), states').
+
+    Births and the rho/omega L-BFGS refinement are host-side, per
+    record, between step calls (they are data-dependent control flow and
+    a tiny K-dimensional problem respectively; SURVEY.md §2).
     """
     refit = gplds.build_refit(T, est_limit=est_limit, annealing=annealing)
 
@@ -65,7 +114,19 @@ def build_sharded_vi_step(T: int, K: int, mesh: Mesh,
             states_r, resp_r)
         q = q.T                       # (N, K)
         q_lat = q_lat.T
-        resp2, logresp, respPair2, _ = hmm_ops.fb_hard(start_r, trans_r, q)
+        if hdp_update:
+            # start_r = rho (K,), trans_r = respPair (N, K, K)
+            trans_counts = jnp.sum(trans_r, axis=0)
+            start_counts = resp_r[0]
+            tt, st_theta = theta_from_counts_device(
+                start_r, trans_counts, start_counts,
+                jnp.asarray(trans_alpha, q.dtype),
+                jnp.asarray(start_alpha, q.dtype),
+                jnp.asarray(kappa, q.dtype))
+            trans_lp, start_lp = log_pis_from_theta_device(tt, st_theta, K)
+        else:
+            start_lp, trans_lp = start_r, trans_r
+        resp2, logresp, respPair2, _ = hmm_ops.fb_hard(start_lp, trans_lp, q)
         elbo_r = (jnp.sum(q * resp2) + jnp.sum(q_lat * resp2)
                   + hmm_ops.entropy_terms(resp2, respPair2))
         return q, q_lat, resp2, respPair2, elbo_r, states2

@@ -84,3 +84,37 @@ def test_reload_and_classify():
                                        (20, 1)), y2)
     acc = float(np.mean(pred == z2))
     assert acc > 0.9, f"classification accuracy {acc}"
+
+
+@pytest.mark.slow
+def test_save_load_swgp_roundtrip(tmp_path):
+    """Checkpoints are a safe npz archive (no pickle on load);
+    save -> load must reproduce scoring state exactly."""
+    import numpy as np
+    from hdpgpc_tpu.models.hdpgpc import HDPGPC
+    T, N = 24, 20
+    y, z = synthetic_beats(N, T=T, n_clusters=2, noise=0.03, seed=7)
+    std, std_dif, bs, bg = compute_estimators_lds(y)
+    m = HDPGPC(default_x_basis(T), n_outputs=1, ini_gamma=std_dif,
+               ini_sigma=std, ini_outputscale=10.0, bound_sigma=bs,
+               bound_gamma=bg)
+    m.cfg = dataclasses.replace(
+        m.cfg, gp=dataclasses.replace(m.cfg.gp, kernel_fit_iters=200))
+    x = np.arange(T, dtype=np.float64)
+    for i in range(N):
+        m.include_sample(x, y[i], with_warp=False)
+    p = str(tmp_path / "ckpt.npz")
+    m.save_swgp(p)
+    import zipfile
+    assert zipfile.is_zipfile(p), "checkpoint must be an npz, not pickle"
+    m2 = HDPGPC.load_swgp(p)
+    assert m2.M == m.M and m2.T_count == m.T_count
+    assert m2.train_elbo == m.train_elbo
+    for cl, cl2 in zip(m.clusters[0], m2.clusters[0]):
+        np.testing.assert_array_equal(cl.members, cl2.members)
+        np.testing.assert_array_equal(np.asarray(cl.state.A),
+                                      np.asarray(cl2.state.A))
+    # loaded model classifies like the original
+    q1, r1, _ = m.include_sample(x, y[0], with_warp=False, classify=True)
+    q2, r2, _ = m2.include_sample(x, y[0], with_warp=False, classify=True)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2))

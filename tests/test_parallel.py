@@ -43,6 +43,55 @@ def test_sharded_matches_single_device():
     np.testing.assert_allclose(float(elbo_s), float(elbo_1), rtol=1e-8)
 
 
+def test_sharded_step_with_hdp_update_matches_host_theta():
+    """hdp_update=True recomputes the transition structure on-device
+    from counts (theta update, GPI_HDP.py:400-422 + compute_trans_A,
+    :3527-3535); must equal the host stick-breaking computation."""
+    from hdpgpc_tpu.ops import stick_breaking as sb
+    from hdpgpc_tpu.parallel.records import (build_sharded_vi_step,
+                                             init_record_states, make_mesh,
+                                             shard_records)
+    R, N, T, K = 4, 10, 12, 3
+    rng = np.random.default_rng(3)
+    Y = jnp.asarray(rng.standard_normal((R, N, T)))
+    z = rng.integers(0, K, (R, N))
+    resp = jnp.asarray(np.eye(K)[z])
+    respPair = np.zeros((R, N, K, K))
+    respPair[:, np.arange(1, N)[None, :], z[:, :-1], z[:, 1:]] = 1.0
+    states = init_record_states(R, K, T)
+    rho = jnp.asarray(np.tile(sb.create_init_rho(K), (R, 1)))
+
+    mesh = make_mesh(4)
+    h = dict(trans_alpha=1.0, start_alpha=0.1, kappa=0.0)
+    step = build_sharded_vi_step(T, K, mesh, hdp_update=True, **h)
+    args = [shard_records(mesh, a) for a in
+            (Y, resp, jnp.asarray(respPair))]
+    states_s = jax.tree.map(lambda x: shard_records(mesh, x), states)
+    rho_s = shard_records(mesh, rho)
+    q_s, _, resp2_s, _, elbo_s, _ = step(args[0], args[1], states_s,
+                                         rho_s, args[2])
+    assert np.isfinite(float(elbo_s))
+
+    # host-side theta for record 0 must match the device computation:
+    # run the fixed-pi step with host-derived log pis and compare resp
+    glob = sb.init_globals(K, 1.0, 1.0, 0.1, 0.0)
+    tc = respPair[0].sum(axis=0)
+    sc = np.asarray(resp[0][0])
+    tt, st_theta = sb.calc_theta_full(glob, tc, sc, M=K + 1)
+    trans_lp = sb.trans_log_pi_from_theta(tt, K, log_sum_exp_form=False)
+    start_lp = sb.start_log_pi_from_theta(st_theta, K,
+                                          log_sum_exp_form=False)
+    mesh1 = make_mesh(1)
+    step1 = build_sharded_vi_step(T, K, mesh1)
+    q_1, _, resp2_1, _, _, _ = step1(
+        Y[:1], resp[:1], jax.tree.map(lambda x: x[:1], states),
+        jnp.asarray(start_lp)[None], jnp.asarray(trans_lp)[None])
+    np.testing.assert_allclose(np.asarray(q_s)[0], np.asarray(q_1)[0],
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_array_equal(np.asarray(resp2_s)[0],
+                                  np.asarray(resp2_1)[0])
+
+
 def test_streaming_classifier():
     from hdpgpc_tpu.data.loader import synthetic_beats
     from hdpgpc_tpu.models.streaming import (init_stream_state,
