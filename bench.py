@@ -30,6 +30,9 @@ import numpy as np
 
 N_BEATS = int(os.environ.get("HDPGPC_BENCH_BEATS", "2272"))
 DTYPE = os.environ.get("HDPGPC_BENCH_DTYPE", "float32")
+# "offline" (default): s/VI-sweep on rec 100.
+# "online": beats/sec for the cached streaming step on rec 100.
+MODE = os.environ.get("HDPGPC_BENCH_MODE", "offline")
 
 
 def _build_model(x_basis, L, std, std_dif, bound_sigma, bound_gamma):
@@ -44,12 +47,61 @@ def _build_model(x_basis, L, std, std_dif, bound_sigma, bound_gamma):
                   compute_dtype=DTYPE)
 
 
+def bench_online():
+    """Streaming throughput: include_sample_fast beats/sec on rec 100
+    (reference test_online.py prints sec/beat; BASELINE.json names
+    beats/sec online as a judged metric). Warm-up beats excluded."""
+    import contextlib
+    import io
+
+    import jax.numpy as jnp
+    from hdpgpc_tpu.data.loader import default_x_basis, load_record
+    from hdpgpc_tpu.data.priors import compute_estimators_lds
+
+    int(jnp.zeros((), jnp.int32))
+    n_beats = min(N_BEATS, 400)
+    data, labels = load_record("100", lead=0)
+    data = data[:n_beats]
+    std, std_dif, bound_sigma, bound_gamma = compute_estimators_lds(data)
+    N, T, L = data.shape
+    x_basis = default_x_basis(T)
+    model = _build_model(x_basis, L, std, std_dif, bound_sigma, bound_gamma)
+    x = np.arange(T, dtype=np.float64)
+    warm = 30
+    with contextlib.redirect_stdout(io.StringIO()):
+        for i in range(warm):
+            model.include_sample_fast(x, data[i], with_warp=False)
+        t0 = time.time()
+        for i in range(warm, N):
+            model.include_sample_fast(x, data[i], with_warp=False)
+    elapsed = time.time() - t0
+    bps = (N - warm) / elapsed
+    baseline = None
+    bl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BASELINE_MEASURED.json")
+    if os.path.exists(bl_path):
+        with open(bl_path) as f:
+            bl = json.load(f)
+        ref_bps = bl.get("reference_online_beats_per_sec")
+        if ref_bps:
+            baseline = ref_bps
+    print(json.dumps({
+        "metric": f"online_fast_beats_per_sec_rec100_n{N}_{DTYPE}",
+        "value": round(bps, 4),
+        "unit": "beats/s",
+        "vs_baseline": round(bps / baseline, 3) if baseline else 0.0,
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from hdpgpc_tpu.data.loader import default_x_basis, load_record
     from hdpgpc_tpu.data.priors import compute_estimators_lds
     from hdpgpc_tpu.utils.eval import classification_error
+
+    if MODE == "online":
+        return bench_online()
 
     # one-time device/tunnel initialisation (NOT model work)
     int(jnp.zeros((), jnp.int32))

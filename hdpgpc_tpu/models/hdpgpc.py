@@ -55,7 +55,9 @@ class Cluster:
     orchestrator's many compute_q_elbo calls per sweep.
     """
 
-    __slots__ = ("state", "fitted", "members", "lds_elbo")
+    __slots__ = ("state", "fitted", "members", "lds_elbo", "uid")
+
+    _uid_counter = [0]
 
     def __init__(self, state: ClusterState, fitted: bool = False,
                  members: Optional[np.ndarray] = None):
@@ -64,6 +66,10 @@ class Cluster:
         self.members = (np.zeros(0, np.int64) if members is None
                         else np.asarray(members, np.int64))
         self.lds_elbo: Optional[float] = None
+        # monotonic identity tag for the stacked-state cache (id() can
+        # be recycled by the allocator)
+        Cluster._uid_counter[0] += 1
+        self.uid = Cluster._uid_counter[0]
 
     def clone(self) -> "Cluster":
         c = Cluster(self.state, self.fitted, self.members.copy())
@@ -207,6 +213,8 @@ class HDPGPC:
         self._refits = {}
         self._warp_fn = None
         self._warp_priors = {}
+        # per-lead persistently stacked cluster states (online fast path)
+        self._stack_cache: Dict[int, Tuple[tuple, object]] = {}
 
     # ------------------------------------------------------------------
     # cluster construction / refit plumbing
@@ -1688,7 +1696,9 @@ class HDPGPC:
 
     def _maybe_kernel_fit_online(self, cl: Cluster, ld: int, y: np.ndarray
                                  ) -> Cluster:
-        if cl.fitted or int(cl.state.n) > 0:
+        # members mirrors state.n on the host: avoids a per-call device
+        # fetch of the scalar n on the latency-bound online path
+        if cl.fitted or cl.members.size > 0:
             return cl
         key = (ld, hash(y.tobytes()), self._def_bound_sigma)
         theta = self._kernel_fit_cache.get(key)
@@ -1771,8 +1781,7 @@ class HDPGPC:
         """log_sq_error(i=-1) against every cluster in ONE vmapped call,
         vmapped over BOTH the cluster states and their (possibly
         per-cluster warped) inputs. y_per_cluster: (M, T)."""
-        states = jax.tree.map(lambda *xs: jnp.stack(xs),
-                              *[cl.state for cl in self.clusters[ld]])
+        states = self._stacked_lead(ld)
         vals = self._score_last_prog()(
             states, jnp.asarray(y_per_cluster, self.dtype))
         return np.asarray(vals)
@@ -2046,6 +2055,124 @@ class HDPGPC:
                             birth=bool(birth), n_clusters=self.M)
         return model
 
+    def _set_slot_prog(self):
+        if "set_slot" not in self._refits:
+            self._refits["set_slot"] = jax.jit(
+                lambda tree, i, st: jax.tree.map(
+                    lambda a, b: a.at[i].set(b), tree, st))
+        return self._refits["set_slot"]
+
+    def _take_prog(self):
+        if "take_perm" not in self._refits:
+            self._refits["take_perm"] = jax.jit(
+                lambda tree, perm: jax.tree.map(lambda a: a[perm], tree))
+        return self._refits["take_perm"]
+
+    def _stacked_lead(self, ld: int):
+        """Persistently stacked (K, ...) cluster-state pytree for one
+        lead, kept on device across online steps. Per-beat maintenance
+        is ONE scatter (the committed slot) or ONE gather (a reorder)
+        instead of restacking ~30 leaves per call — the restacks were
+        the dominant per-beat dispatch cost on the tunnelled TPU."""
+        clusters = self.clusters[ld]
+        ids = tuple(cl.uid for cl in clusters)
+        cached = self._stack_cache.get(ld)
+        if cached is not None:
+            old_ids, tree = cached
+            if old_ids == ids:
+                return tree
+            if len(old_ids) == len(ids):
+                diff = [i for i, (a, b) in enumerate(zip(old_ids, ids))
+                        if a != b]
+                if len(diff) == 1:
+                    i = diff[0]
+                    tree = self._set_slot_prog()(
+                        tree, jnp.asarray(i), clusters[i].state)
+                    self._stack_cache[ld] = (ids, tree)
+                    return tree
+                if set(old_ids) == set(ids):
+                    perm = np.asarray([old_ids.index(x) for x in ids])
+                    tree = self._take_prog()(tree, jnp.asarray(perm))
+                    self._stack_cache[ld] = (ids, tree)
+                    return tree
+        tree = jax.tree.map(lambda *xs: jnp.stack(xs),
+                            *[cl.state for cl in clusters])
+        self._stack_cache[ld] = (ids, tree)
+        return tree
+
+    def _cand_eval_prog(self):
+        """ONE vmapped program evaluating a batch of candidate includes:
+        estimate_new score, 1-beat include (pair-smoothed), q_lat tail
+        values, and the LDS param ELBO of the resulting state. Collapses
+        the fast online step's per-candidate device round-trips (a
+        latency, not FLOPs, problem on a tunnelled TPU) into one call.
+        """
+        key = "cand_eval"
+        if key not in self._refits:
+            refit = self._refit_prog(update_params=self.cfg.bayesian_params,
+                                     pair_smooth=True, full_backward=False)
+            fd = float(self.cfg.gp.free_deg_mniw)
+
+            def one(state, y, h_ini):
+                est = gplds.estimate_new(state, y)
+                res = refit(y[None, :], jnp.ones((1,), y.dtype), state)
+                vf, vp, vl = gplds.q_lat_tail(res.state, h_ini)
+                lds = gplds.lds_param_elbo(res.state, fd)
+                return est, vf, vp, vl, lds
+
+            def run(stacked, ys, h, m_template):
+                # birth slot: in-program reinit of the template cluster
+                # (GPI_HDP.py:2444-2455)
+                birth = gplds.reinit_cluster_state(
+                    jax.tree.map(lambda a: a[m_template], stacked), fd)
+                slots = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b[None]]), stacked,
+                    birth)
+                return jax.vmap(one)(slots, ys, h)
+
+            self._refits[key] = jax.jit(run)
+        return self._refits[key]
+
+    def _eval_candidates(self, ld: int, y_mod: np.ndarray, m_template: int):
+        """Batched candidate evaluation for include_sample_fast:
+        slots 0..M-1 = absorb into cluster m (current state), slot M =
+        birth (reinit of the template, GPI_HDP.py:2444-2455). Uses the
+        persistently stacked state tree; ONE device call per (beat,
+        lead).
+
+        Returns (est (M+1,), tails (M+1, 3), lds (M+1,)).
+        """
+        M = self.M
+        stacked = self._stacked_lead(ld)
+        ys = [y_mod[:, ld, mm] for mm in range(M)] + [y_mod[:, ld, -1]]
+        h_inis = [1.0] * M + [0.5]
+        ys_j = jnp.asarray(np.stack(ys), self.dtype)
+        h_j = jnp.asarray(np.asarray(h_inis), self.dtype)
+        est, vf, vp, vl, lds = self._cand_eval_prog()(
+            stacked, ys_j, h_j, m_template)
+        est = np.asarray(est)
+        tails = np.stack([np.asarray(vf), np.asarray(vp),
+                          np.asarray(vl)], axis=1)
+        return est, tails, np.asarray(lds)
+
+    @staticmethod
+    def _patch_q_lat_vals(col: np.ndarray, members_new: np.ndarray,
+                          tails, only_idxs) -> np.ndarray:
+        """Scatter precomputed q_lat tail values (first, prev, last) at
+        the member indices, restricted to only_idxs (the batched
+        equivalent of _patch_q_lat_col)."""
+        vf, vp, vl = (float(v) for v in tails)
+        col = col.copy()
+        patch = {int(members_new[0]): vf}
+        if members_new.size >= 2:
+            patch[int(members_new[-1])] = vl
+        if members_new.size >= 3:
+            patch[int(members_new[-2])] = vp
+        for idx, v in patch.items():
+            if only_idxs is None or idx in only_idxs:
+                col[idx] = v
+        return col
+
     def include_sample_fast(self, x_train, y, with_warp: bool = True,
                             force_model=None, classify: bool = False):
         """O(1)-per-beat cached online step (GPI_HDP.include_sample_fast,
@@ -2136,21 +2263,32 @@ class HDPGPC:
                                kind="stable")
             m_template = int(q_ord[-1])
 
+            # ===== ALL candidates (absorb x M + birth) in ONE vmapped
+            # device call per lead (the per-candidate math is identical
+            # to GPI_HDP.py:2444-2541; only the batching is new) =====
+            ests = np.zeros((M + 1, L))
+            tails = np.zeros((M + 1, 3, L))
+            lds_new = np.zeros((M + 1, L))
+            for ld in range(L):
+                est_l, tails_l, lds_l = self._eval_candidates(
+                    ld, y_mod, m_template)
+                ests[:, ld] = est_l
+                tails[:, :, ld] = tails_l
+                lds_new[:, ld] = lds_l
+
             # ===== birth candidate (GPI_HDP.py:2444-2463) =====
             q_prev = q_aux.copy()
             q_lat_prev = q_lat.copy()
             prov: List[Cluster] = []
+            mem_birth = np.asarray([t], np.int64)
             for ld in range(L):
-                cl = self.clusters[ld][m_template]
-                st = gplds.reinit_cluster_state(
-                    cl.state, float(self.cfg.gp.free_deg_mniw))
-                pc = Cluster(st, cl.fitted)
-                q_prev[-1, -1, ld] = float(gplds.estimate_new(
-                    pc.state, jnp.asarray(y_mod[:, ld, -1]))) + liks[-1]
-                pc = self._candidate_include(pc, ld, y_mod[:, ld, -1], t)
-                q_lat_prev[:, -1, ld] = self._patch_q_lat_col(
-                    q_lat_prev[:, -1, ld], pc, h_ini=0.5,
+                q_prev[-1, -1, ld] = ests[M, ld] + liks[-1]
+                q_lat_prev[:, -1, ld] = self._patch_q_lat_vals(
+                    q_lat_prev[:, -1, ld], mem_birth, tails[M, :, ld],
                     only_idxs=(t,)) * 5.0
+                pc = Cluster(None, self.clusters[ld][m_template].fitted,
+                             mem_birth)
+                pc.lds_elbo = float(lds_new[M, ld])
                 prov.append(pc)
 
             # gate: compare absorb only when birth wins on emission
@@ -2175,14 +2313,14 @@ class HDPGPC:
                                      for ld in range(L)]
                     for ld in range(L):
                         cl = self.clusters[ld][m_cand]
-                        q_post[-1, m_cand, ld] = float(gplds.estimate_new(
-                            cl.state, jnp.asarray(y_mod[:, ld, m_cand]))) \
+                        q_post[-1, m_cand, ld] = ests[m_cand, ld] \
                             + liks[m_cand]
-                        cc = self._candidate_include(
-                            cl.clone(), ld, y_mod[:, ld, m_cand], t)
-                        q_lat_post[:, m_cand, ld] = self._patch_q_lat_col(
-                            q_lat_post[:, m_cand, ld], cc, h_ini=1.0,
-                            only_idxs=(t, t - 1))
+                        mem_new = np.append(cl.members, t)
+                        q_lat_post[:, m_cand, ld] = self._patch_q_lat_vals(
+                            q_lat_post[:, m_cand, ld], mem_new,
+                            tails[m_cand, :, ld], only_idxs=(t, t - 1))
+                        cc = Cluster(None, cl.fitted, mem_new)
+                        cc.lds_elbo = float(lds_new[m_cand, ld])
                         clusters_post[ld][m_cand] = cc
                     resp_abs, respPair_abs = self._append_hard_step(
                         self.resp_last, self.respPair_last, m_cand, M)
