@@ -342,9 +342,14 @@ def build_refit(T: int, est_limit: Optional[int] = None,
         new_carry = (f_next, P_next, f_prevF_next, P_prevF_next,
                      A_out, G_out, C_out, S_out, mniw_out,
                      n_out, noise0, G0diag, S0diag)
-        if pair_smooth and not full_backward:
-            # online builds need the pair-smoothed values for the
-            # compact-summary gather points
+        if not full_backward:
+            # online builds need the previous-state estimates for the
+            # compact-summary gather points: pair-smoothed when
+            # pair_smooth, else the UNTOUCHED pre-update carry (the
+            # reference's no-pair-smoothing commit leaves f_star_sm of
+            # earlier members as-is, GPI_HDP.py:2185-2197 — emitting the
+            # member's own filtered state here corrupted f_sm_prev /
+            # f_sm_first on the online commit chain)
             emit = (member, f_next, P_next, A_out, G_out, S_out,
                     score_mean, f_smp, P_smp)
         else:
@@ -390,7 +395,7 @@ def build_refit(T: int, est_limit: Optional[int] = None,
                   state.A, state.Gamma, state.C, state.Sigma,
                   mniw0, state.n, noise0, G0diag, S0diag)
         carryF, emits = jax.lax.scan(forward_step, carry0, (Y_s, m_s))
-        if pair_smooth and not full_backward:
+        if not full_backward:
             (member, f_filt, P_filt, A_seq, G_seq, S_seq, score_mean,
              f_smp, P_smp) = emits
         else:

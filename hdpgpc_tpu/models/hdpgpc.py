@@ -367,8 +367,9 @@ class HDPGPC:
                                C=jnp.asarray(C, dt), Sigma=jnp.asarray(S, dt))
             res, _ = prog(Yj, rj, st2)
         out = Cluster(res.state, cl2.fitted, members)
-        return (np.asarray(res.q), np.asarray(res.q_lat),
-                np.asarray(res.snr), out)
+        snr_out = np.asarray(res.snr) if self.cfg.use_snr \
+            else np.ones(Y.shape[0])
+        return (np.asarray(res.q), np.asarray(res.q_lat), snr_out, out)
 
     def _full_refit(self, cl: Cluster, ld: int, Y: np.ndarray,
                     resp_col: np.ndarray, update_params=True):
@@ -391,8 +392,9 @@ class HDPGPC:
                    jnp.asarray(resp_col, self.dtype), cl2.state)
         members = np.flatnonzero(resp_col > 0.99)
         out = Cluster(res.state, cl2.fitted, members)
-        ret = (np.asarray(res.q), np.asarray(res.q_lat),
-               np.asarray(res.snr), out)
+        snr_out = np.asarray(res.snr) if self.cfg.use_snr \
+            else np.ones(Y.shape[0])
+        ret = (np.asarray(res.q), np.asarray(res.q_lat), snr_out, out)
         if _os.environ.get("HDPGPC_FIT_DEBUG") == "1":
             import sys as _sys
             print(f"[r1] members={members.size} bucket={bucket} "
@@ -500,7 +502,11 @@ class HDPGPC:
         res = prog(Yb, Rb, states)
         qs = np.asarray(res.q)
         qls = np.asarray(res.q_lat)
-        snrs = np.asarray(res.snr)
+        # use_snr=False: the reference's compute_snr returns ones
+        # (GPI_HDP.py:748-750); the refit's computed SNR must not leak
+        # into the fusion weights
+        snrs = np.asarray(res.snr) if self.cfg.use_snr \
+            else np.ones_like(np.asarray(res.snr))
         out = []
         for i, (cl, ld, Y, rc) in enumerate(jobs):
             st_i = jax.tree.map(lambda x: x[i], res.state)
@@ -613,7 +619,12 @@ class HDPGPC:
         return self._refits["lds_elbo_v"]
 
     def _full_lds_elbo(self, clusters_ld: List[Cluster],
-                       sum_resp: np.ndarray) -> float:
+                       sum_resp: np.ndarray,
+                       one_sample: bool = False) -> float:
+        """full_LDS_elbo (GPI_HDP.py:1838-1864). NOTE the reference
+        divides by the live-cluster count M_ ONLY in the offline case;
+        the online (one_sample) path returns the undivided sum
+        (GPI_HDP.py:1862-1864 ``return elb`` vs ``return elb / M_``)."""
         elb = 0.0
         M_ = int(np.sum(sum_resp > 0))
         if M_ == 0:
@@ -635,7 +646,7 @@ class HDPGPC:
                 clusters_ld[i].lds_elbo = float(vals[j])
         for i in live:
             elb += clusters_ld[i].lds_elbo * frac[i]
-        return elb / M_
+        return elb if one_sample else elb / M_
 
     def compute_q_elbo(self, resp, respPair, q_w, q_lat_w, clusters, M,
                        snr="saved", post=False, one_sample=False,
@@ -656,7 +667,8 @@ class HDPGPC:
             f = w.sum(axis=0)
             frac = f / f.sum() * n_points
         sum_resp = resp.sum(axis=0)
-        elbo_lds = sum(self._full_lds_elbo(clusters[ld], sum_resp) * frac[ld]
+        elbo_lds = sum(self._full_lds_elbo(clusters[ld], sum_resp,
+                                           one_sample=one_sample) * frac[ld]
                        for ld in range(self.n_outputs))
         if verb is None:
             verb = self.verbose
@@ -1709,6 +1721,20 @@ class HDPGPC:
                                     KernelParams(*map(jnp.asarray, theta)))
         return Cluster(st, True, cl.members)
 
+    def _birth_include(self, cl: Cluster, ld: int, y: np.ndarray,
+                       t: int) -> Cluster:
+        """Birth-candidate include: the reference only calls
+        include_weighted_sample on the reinit template copy — NO
+        backwards_pair, NO parameter update, so Gamma/Sigma stay at the
+        template defaults (GPI_HDP.py:1996-2005 online, :2444-2458 fast;
+        contrast the absorb candidates at :2023-2031)."""
+        cl = self._maybe_kernel_fit_online(cl, ld, y)
+        prog = self._refit_prog(update_params=False, pair_smooth=False,
+                                full_backward=False)
+        res = prog(jnp.asarray(y[None, :], self.dtype),
+                   jnp.asarray(np.ones(1), self.dtype), cl.state)
+        return Cluster(res.state, cl.fitted, np.append(cl.members, t))
+
     def _candidate_include(self, cl: Cluster, ld: int, y: np.ndarray,
                            t: int) -> Cluster:
         """Absorb-candidate include: Kalman + backwards_pair + MNIW
@@ -1895,7 +1921,7 @@ class HDPGPC:
                 pc = Cluster(st, cl.fitted)
                 q_prev[-1, -1, ld] = float(gplds.estimate_new(
                     pc.state, jnp.asarray(y_mod[:, ld, -1]))) + liks[-1]
-                pc = self._candidate_include(pc, ld, y_mod[:, ld, -1], t)
+                pc = self._birth_include(pc, ld, y_mod[:, ld, -1], t)
                 q_lat_prev[:, -1, ld] = self._patch_q_lat_col(
                     q_lat_prev[:, -1, ld], pc)
                 prov.append(pc)
@@ -2109,11 +2135,17 @@ class HDPGPC:
         """
         key = "cand_eval"
         if key not in self._refits:
-            refit = self._refit_prog(update_params=self.cfg.bayesian_params,
-                                     pair_smooth=True, full_backward=False)
+            refit_abs = self._refit_prog(
+                update_params=self.cfg.bayesian_params,
+                pair_smooth=True, full_backward=False)
+            # the birth slot is a bare include: no pair smoothing, no
+            # parameter update (GPI_HDP.py:2444-2458)
+            refit_birth = self._refit_prog(update_params=False,
+                                           pair_smooth=False,
+                                           full_backward=False)
             fd = float(self.cfg.gp.free_deg_mniw)
 
-            def one(state, y, h_ini):
+            def eval_slot(refit, state, y, h_ini):
                 est = gplds.estimate_new(state, y)
                 res = refit(y[None, :], jnp.ones((1,), y.dtype), state)
                 vf, vp, vl = gplds.q_lat_tail(res.state, h_ini)
@@ -2125,10 +2157,13 @@ class HDPGPC:
                 # (GPI_HDP.py:2444-2455)
                 birth = gplds.reinit_cluster_state(
                     jax.tree.map(lambda a: a[m_template], stacked), fd)
-                slots = jax.tree.map(
-                    lambda a, b: jnp.concatenate([a, b[None]]), stacked,
-                    birth)
-                return jax.vmap(one)(slots, ys, h)
+                outs_abs = jax.vmap(
+                    lambda s, y, hi: eval_slot(refit_abs, s, y, hi))(
+                    stacked, ys[:-1], h[:-1])
+                outs_birth = eval_slot(refit_birth, birth, ys[-1], h[-1])
+                return tuple(
+                    jnp.concatenate([a, b[None]])
+                    for a, b in zip(outs_abs, outs_birth))
 
             self._refits[key] = jax.jit(run)
         return self._refits[key]

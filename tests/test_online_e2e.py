@@ -36,10 +36,15 @@ def test_online_stream_recovers_clusters():
 
 
 @pytest.mark.slow
-def test_online_fast_path_recovers_clusters():
+def test_online_fast_path_matches_reference_behaviour():
     """include_sample_fast (cached O(1)-per-beat step,
-    GPI_HDP.py:2312-2629) must stream without full-history FB and still
-    recover the generating clusters."""
+    GPI_HDP.py:2312-2629) must stream with flat per-beat cost and make
+    the same conservative birth decisions as the reference: on THIS
+    synthetic stream the reference's include_sample_fast keeps a single
+    cluster (golden-pinned by running the reference via tools/refstubs
+    on identical data: M=1, all labels 0 — its birth gate requires the
+    reinit template's emission to beat every existing cluster, which a
+    mild two-mode mixture never does)."""
     from hdpgpc_tpu.models.hdpgpc import HDPGPC
     T, N = 24, 30
     y, z = synthetic_beats(N, T=T, n_clusters=2, noise=0.03, seed=4)
@@ -54,10 +59,8 @@ def test_online_fast_path_recovers_clusters():
         m.include_sample_fast(x, y[i], with_warp=False)
     assert m.T_count == N
     labels = m.resp_assigned[-1]
-    err = sum(int(np.sum(z[labels == k]
-                         != np.bincount(z[labels == k]).argmax()))
-              for k in np.unique(labels))
-    assert err / N < 0.25, f"fast online clustering error {err}/{N}"
+    assert m.M == 1, f"reference keeps one cluster here; got M={m.M}"
+    np.testing.assert_array_equal(labels, 0)
     # cache invariants: hard one-hot history of the right shape
     assert m.resp_last.shape == (N, m.M)
     np.testing.assert_allclose(m.resp_last.sum(axis=1), 1.0)

@@ -123,13 +123,27 @@ def test_offline_two_lead_parity_rec102_slice():
         assert a == b, f"two-lead cluster {k} member set differs"
 
 
+def _same_partition(a, b):
+    """Label-permutation-invariant equality of hard assignments."""
+    a, b = np.asarray(a), np.asarray(b)
+    if a.shape != b.shape:
+        return False
+    fwd, inv = {}, {}
+    for r, o in zip(b.tolist(), a.tolist()):
+        if fwd.setdefault(r, o) != o or inv.setdefault(o, r) != r:
+            return False
+    return True
+
+
 @pytest.mark.slow
-@pytest.mark.xfail(strict=False, reason="online birth-decision divergence "
-                   "under investigation (ours 21 vs ref 17 clusters over "
-                   "60 beats); tracked for this round")
 def test_online_parity_rec100_slice():
     """Online include_sample parity (reference test_online.py:70-92
-    config: free_deg_MNIV=20) over 60 beats: identical final labels."""
+    config: free_deg_MNIV=20) over 60 beats: identical cluster count and
+    identical PARTITIONS at every beat. Labels are compared up to a
+    bijective relabeling: the reference's reorder-by-size uses torch's
+    UNSTABLE argsort (GPI_HDP.py:1095), so equal-size clusters may be
+    permuted differently; the partitions (and every birth/absorb
+    decision) match."""
     import torch
     data = np.load(os.path.join(REF, "data/mitbih/100.npy"))[:, :, [0]]
     n = 60
@@ -152,10 +166,12 @@ def test_online_parity_rec100_slice():
         bound_noise_warp=(nw * 0.1, nw * 0.2), verbose=False,
         hmm_switch=True, max_models=100, bayesian_params=True,
         inducing_points=False, estimation_limit=None, free_deg_MNIV=20)
+    ref_hist = []
     for i in range(N):
         sw.include_sample(torch.from_numpy(x_train),
                           torch.from_numpy(data[i]), with_warp=False)
-    ref_labels = np.asarray(sw.resp_assigned[-1])
+        ref_hist.append(np.asarray(sw.resp_assigned[-1]).copy())
+    ref_labels = ref_hist[-1]
 
     from hdpgpc_tpu.data.loader import default_x_basis
     from hdpgpc_tpu.models.hdpgpc import HDPGPC
@@ -166,11 +182,15 @@ def test_online_parity_rec100_slice():
                max_models=100, bayesian_params=True,
                estimation_limit=None, free_deg_MNIV=20)
     x = np.arange(T, dtype=np.float64)
+    our_hist = []
     for i in range(N):
         m.include_sample(x, data[i], with_warp=False)
-    our_labels = np.asarray(m.resp_assigned[-1])
+        our_hist.append(np.asarray(m.resp_assigned[-1]).copy())
     assert m.M == sw.M, f"cluster count {m.M} vs ref {sw.M}"
-    np.testing.assert_array_equal(our_labels, ref_labels)
+    for i, (a, b) in enumerate(zip(our_hist, ref_hist)):
+        assert _same_partition(a, b), (
+            f"partition diverges at beat {i}: ref {b.tolist()} "
+            f"vs ours {a.tolist()}")
 
 
 @pytest.mark.slow
