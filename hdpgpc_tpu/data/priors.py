@@ -35,6 +35,17 @@ def compute_estimators_lds(samples: np.ndarray, n_f: Optional[int] = None
     return std, std_dif, bound_std, bound_std_dif
 
 
+def _median_torch(v: np.ndarray) -> float:
+    """torch.median semantics: for an even element count, the LOWER of
+    the two middle values (numpy averages them). The reference's
+    redefine_default medians run over the 10 first-sample variances, so
+    the even-length case is the one that matters — the numpy average
+    shifted the reestimated Sigma by ~3% and rescaled every emission
+    score on multi-lead records."""
+    v = np.sort(np.asarray(v).ravel())
+    return float(v[(v.shape[0] - 1) // 2])
+
+
 def redefine_default_priors(y_trains: np.ndarray, estimation_limit=None
                             ) -> Tuple[float, float, Tuple[float, float],
                                        Tuple[float, float]]:
@@ -49,9 +60,9 @@ def redefine_default_priors(y_trains: np.ndarray, estimation_limit=None
     s = y_trains[:n_f][:, :10, 0].T          # (10, n_f)
     s_ = y_trains[1:n_f + 1][:, :10, 0].T
     c = s - np.mean(s, axis=1)[:, None]
-    var_y = float(np.median(np.diag(c @ c.T)) / n_f)
+    var_y = _median_torch(np.diag(c @ c.T)) / n_f
     d = s_ - s
-    var_dy = float(np.median(np.diag(d @ d.T)) / n_f)
+    var_dy = _median_torch(np.diag(d @ d.T)) / n_f
     ini_sigma = var_y * 0.02
     ini_gamma = var_dy * 0.025
     bound_sigma = (ini_sigma * 1e-5, ini_sigma * 2.0)

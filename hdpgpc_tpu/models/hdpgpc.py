@@ -1514,6 +1514,11 @@ class HDPGPC:
             clusters_temp: List[List[Cluster]] = [
                 [None] * Mb for _ in range(L)]
             jobs, slots = [], []
+            # the empty_estimation branch reuses the PREVIOUS y_w (M
+            # columns) while indexing Mb = M + 1 slots; warp columns are
+            # identical when warp is off (and keyed by representative
+            # otherwise), so clamp to the last available column
+            ywc = y_w.shape[3] - 1
             for ld in range(L):
                 for m in range(Mb):
                     if reorder[m] == Mb - 1:
@@ -1522,13 +1527,14 @@ class HDPGPC:
                             cl = self.clusters[ld][m_chosen].clone()
                         else:
                             cl = self._new_cluster()
-                        jobs.append((cl, ld, y_w[:, :, ld, reorder[m]],
+                        jobs.append((cl, ld,
+                                     y_w[:, :, ld, min(reorder[m], ywc)],
                                      resp_temp[:, m]))
                         slots.append((ld, m))
                     elif not np.array_equal(resp[:, reorder[m]],
                                             resp_temp[:, m]):
                         jobs.append((self.clusters[ld][reorder[m]], ld,
-                                     y_w[:, :, ld, reorder[m]],
+                                     y_w[:, :, ld, min(reorder[m], ywc)],
                                      resp_temp[:, m]))
                         slots.append((ld, m))
                     else:
@@ -1537,9 +1543,10 @@ class HDPGPC:
                         q_lat[:, m, ld] = q_lat__[:, reorder[m], ld]
                         snr_aux[:, m, ld] = snr__def[:, reorder[m], ld]
                         clusters_temp[ld][m] = cl
+            lkc = liks.shape[1] - 1
             for (ld, m), (q_col, ql_col, s_col, cl2) in zip(
                     slots, self._full_refit_batch(jobs)):
-                q[:, m, ld] = q_col + liks[:, reorder[m], ld]
+                q[:, m, ld] = q_col + liks[:, min(reorder[m], lkc), ld]
                 q_lat[:, m, ld] = ql_col
                 snr_aux[:, m, ld] = s_col
                 clusters_temp[ld][m] = cl2

@@ -73,9 +73,6 @@ def _run_ours(data, labels, std, std_dif, bound_sigma, bound_gamma):
 
 
 @pytest.mark.slow
-@pytest.mark.xfail(strict=False, reason="birth-decision divergence on the "
-                   "two-lead path under investigation (ours 5 vs ref 6 "
-                   "clusters on the slice); tracked for this round")
 def test_offline_two_lead_parity_rec102_slice():
     """Two-lead SNR-fusion parity (reference
     test_offline_multi_output.py:65-86 config: sigma=std, gamma=std*1.1)
@@ -212,10 +209,9 @@ def test_offline_assignment_parity_rec100_slice():
         assert a == b, f"cluster {k} member set differs"
     # trajectory shape: same sweep count, same convergence pattern
     assert len(our_elbo) == len(ref_elbo)
-    # ELBO trajectory: enforced at the achieved 1e-2 tolerance — the
-    # residual ~1e-3 offset is q/q_lat bookkeeping staleness between
-    # accepted moves, not scoring math (analysis: docs/ELBO_PARITY.md;
-    # the 1e-6 BASELINE bar is tracked there as not met)
+    # ELBO trajectory parity at the BASELINE bar (<=1e-6 relative;
+    # measured ~1e-11 once redefine_default matched torch.median's
+    # lower-middle semantics — history in docs/ELBO_PARITY.md)
     for i, (a, b) in enumerate(zip(our_elbo, ref_elbo)):
-        assert abs(a - b) / abs(b) < 1e-2, (
+        assert abs(a - b) / abs(b) < 1e-6, (
             f"sweep {i} ELBO {a} vs ref {b}")
