@@ -1805,19 +1805,32 @@ class HDPGPC:
 
     def _score_last_prog(self):
         if "score_last_v" not in self._refits:
-            self._refits["score_last_v"] = jax.jit(
-                jax.vmap(gplds.log_sq_error_last, in_axes=(0, 0)))
+            fd = float(self.cfg.gp.free_deg_mniw)
+
+            def one(state, y):
+                return jnp.stack([gplds.log_sq_error_last(state, y),
+                                  gplds.lds_param_elbo(state, fd)])
+
+            self._refits["score_last_v"] = jax.jit(jax.vmap(one))
         return self._refits["score_last_v"]
 
     def _score_last_all(self, ld: int, y_per_cluster: np.ndarray
                         ) -> np.ndarray:
         """log_sq_error(i=-1) against every cluster in ONE vmapped call,
         vmapped over BOTH the cluster states and their (possibly
-        per-cluster warped) inputs. y_per_cluster: (M, T)."""
+        per-cluster warped) inputs. y_per_cluster: (M, T).
+
+        The same packed fetch carries each cluster's LDS param ELBO,
+        refreshing the per-cluster memo — the online baseline
+        compute_q_elbo then needs no device work of its own (each
+        separate fetch costs a full tunnel round-trip)."""
         states = self._stacked_lead(ld)
-        vals = self._score_last_prog()(
-            states, jnp.asarray(y_per_cluster, self.dtype))
-        return np.asarray(vals)
+        packed = np.asarray(self._score_last_prog()(
+            states, jnp.asarray(y_per_cluster, self.dtype)))  # (M, 2)
+        for mm, cl in enumerate(self.clusters[ld]):
+            if cl.lds_elbo is None:
+                cl.lds_elbo = float(packed[mm, 1])
+        return packed[:, 0]
 
     def _online_pis(self, M):
         """Online transPi/startPi use digamma-sum denominators
@@ -2157,7 +2170,7 @@ class HDPGPC:
                 res = refit(y[None, :], jnp.ones((1,), y.dtype), state)
                 vf, vp, vl = gplds.q_lat_tail(res.state, h_ini)
                 lds = gplds.lds_param_elbo(res.state, fd)
-                return est, vf, vp, vl, lds
+                return jnp.stack([est, vf, vp, vl, lds])
 
             def run(stacked, ys, h, m_template):
                 # birth slot: in-program reinit of the template cluster
@@ -2166,11 +2179,11 @@ class HDPGPC:
                     jax.tree.map(lambda a: a[m_template], stacked), fd)
                 outs_abs = jax.vmap(
                     lambda s, y, hi: eval_slot(refit_abs, s, y, hi))(
-                    stacked, ys[:-1], h[:-1])
+                    stacked, ys[:-1], h[:-1])          # (M, 5)
                 outs_birth = eval_slot(refit_birth, birth, ys[-1], h[-1])
-                return tuple(
-                    jnp.concatenate([a, b[None]])
-                    for a, b in zip(outs_abs, outs_birth))
+                # ONE packed output: each separate device->host fetch
+                # costs a full tunnel round-trip (~27 ms measured)
+                return jnp.concatenate([outs_abs, outs_birth[None]])
 
             self._refits[key] = jax.jit(run)
         return self._refits[key]
@@ -2190,12 +2203,9 @@ class HDPGPC:
         h_inis = [1.0] * M + [0.5]
         ys_j = jnp.asarray(np.stack(ys), self.dtype)
         h_j = jnp.asarray(np.asarray(h_inis), self.dtype)
-        est, vf, vp, vl, lds = self._cand_eval_prog()(
-            stacked, ys_j, h_j, m_template)
-        est = np.asarray(est)
-        tails = np.stack([np.asarray(vf), np.asarray(vp),
-                          np.asarray(vl)], axis=1)
-        return est, tails, np.asarray(lds)
+        packed = np.asarray(self._cand_eval_prog()(
+            stacked, ys_j, h_j, m_template))     # (M+1, 5); ONE fetch
+        return packed[:, 0], packed[:, 1:4], packed[:, 4]
 
     @staticmethod
     def _patch_q_lat_vals(col: np.ndarray, members_new: np.ndarray,
