@@ -54,7 +54,8 @@ class _MainThreadOnlyStdout:
             self._real.flush()
 
 
-def _sweep_record(rec, beats, hdp, device=None, quiet_redirect=True):
+def _sweep_record(rec, beats, hdp, device=None, quiet_redirect=True,
+                  dtype="float64"):
     import jax
     import numpy as np
 
@@ -75,7 +76,7 @@ def _sweep_record(rec, beats, hdp, device=None, quiet_redirect=True):
         m = HDPGPC(default_x_basis(T), n_outputs=L, ini_gamma=std_dif,
                    ini_sigma=std, ini_outputscale=300.0, bound_sigma=bs,
                    bound_gamma=bg, reestimate_initial_params=True,
-                   n_explore_steps=5, hdp_hyp=hdp)
+                   n_explore_steps=5, hdp_hyp=hdp, compute_dtype=dtype)
         t0 = time.time()
         # in mesh mode the caller installs _MainThreadOnlyStdout, which
         # silences worker threads; redirect only when running solo
@@ -92,6 +93,9 @@ def main():
     ap.add_argument("--beats", type=int, default=None)
     ap.add_argument("--records", default=None)
     ap.add_argument("--hdp", default="balanced")
+    ap.add_argument("--dtype", default="float64",
+                    help="compute dtype; float32 is the TPU speed mode "
+                         "(validate its quality with this sweep)")
     ap.add_argument("--mesh", action="store_true",
                     help="run records concurrently, one per device")
     ap.add_argument("--devices", type=int, default=None,
@@ -123,7 +127,8 @@ def main():
             try:
                 return _sweep_record(rec, args.beats, args.hdp,
                                      device=devs[i % len(devs)],
-                                     quiet_redirect=False)
+                                     quiet_redirect=False,
+                                     dtype=args.dtype)
             except FileNotFoundError:
                 return None
 
@@ -139,7 +144,8 @@ def main():
     else:
         for rec in recs:
             try:
-                r = _sweep_record(rec, args.beats, args.hdp)
+                r = _sweep_record(rec, args.beats, args.hdp,
+                                  dtype=args.dtype)
             except FileNotFoundError:
                 continue
             results.append(r)

@@ -189,6 +189,7 @@ class HDPGPC:
         self.snr_norm = np.ones((0, self.n_outputs))
         self.f_ind_old = np.zeros(self.M, np.int64)
         self.warp = False
+        self._y_scale = 1.0     # f32 speed-mode amplitude normalisation
         self._warp_cache: Dict = {}
         self._kernel_fit_cache: Dict = {}
         self._x_all: List[np.ndarray] = []     # per-beat time grids
@@ -859,6 +860,7 @@ class HDPGPC:
             arrays["resp_assigned_last"] = np.asarray(r)
         meta = {
             "format": 2,
+            "y_scale": float(self._y_scale),
             "cfg": self.cfg.to_json(),
             "M": int(self.M),
             "T_count": int(self.T_count),
@@ -909,6 +911,7 @@ class HDPGPC:
         model.snr_norm = z["snr_norm"]
         model.f_ind_old = z["f_ind_old"]
         model.T_count = meta["T_count"]
+        model._y_scale = float(meta.get("y_scale", 1.0))
         model.train_elbo = list(meta["train_elbo"])
         model.elbo_last = meta["elbo_last"]
         if "resp_assigned_last" in z:
@@ -957,6 +960,32 @@ class HDPGPC:
         x = x.reshape(x.shape[0], -1) if x.ndim > 1 else x
         N, T, L = y.shape
         assert T == self.Tb and L == self.n_outputs
+        if self.dtype == jnp.float32:
+            # float32 speed mode: raw MIT-BIH amplitudes reach ~1e3,
+            # and squared residuals at ~1e6 exhaust f32 mantissa in the
+            # Cholesky chains — on large-amplitude records every birth
+            # gets rejected (rec 119: M=1/err 23% unscaled vs M=9/err 0
+            # normalised). Normalise internally and rescale the
+            # variance-like priors by s^2; scores shift by a constant
+            # per beat, which cancels in every accept/reject
+            # comparison at fixed cluster count.
+            s = float(np.std(y))
+            if s > 8.0 or s < 0.125:
+                print(f"float32 speed mode: normalising amplitudes "
+                      f"(scale {s:.4g}).")
+                self._y_scale = s
+                y = y / s
+                sc = s * s
+                self._def_sigma /= sc
+                self._def_gamma /= sc
+                self._def_outputscale /= sc
+                self._def_bound_sigma = tuple(
+                    b / sc for b in self._def_bound_sigma)
+                self._def_bound_gamma = tuple(
+                    b / sc for b in self._def_bound_gamma)
+                for ld_ in range(self.n_outputs):
+                    for m_ in range(len(self.clusters[ld_])):
+                        self.clusters[ld_][m_] = self._new_cluster()
         h = self.cfg.hdp
         print("------ HDP Hyperparameters ------", flush=True)
         print("gamma: " + str(h.gamma))
@@ -1869,6 +1898,8 @@ class HDPGPC:
         ELBO, commit, update HDP globals (GPI_HDP.py:1906-2208)."""
         t = self.T_count
         y = np.asarray(y, np.float64)
+        if self._y_scale != 1.0:
+            y = y / self._y_scale
         if y.ndim == 1:
             y = y[:, None]
         L = y.shape[1]
@@ -2245,6 +2276,8 @@ class HDPGPC:
         """
         t = self.T_count
         y = np.asarray(y, np.float64)
+        if self._y_scale != 1.0:
+            y = y / self._y_scale
         if y.ndim == 1:
             y = y[:, None]
         L = y.shape[1]
@@ -2647,6 +2680,8 @@ class HDPGPC:
         """Score new beats against the trained clusters; optionally
         absorb them and continue training (GPI_HDP.cluster_new_batch)."""
         y = np.asarray(y_trains, np.float64)
+        if self._y_scale != 1.0:
+            y = y / self._y_scale
         if y.ndim == 2:
             y = y[:, :, None]
         N, T, L = y.shape
