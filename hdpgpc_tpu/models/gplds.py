@@ -49,6 +49,7 @@ import jax.numpy as jnp
 from hdpgpc_tpu.models import mniw as mniw_ops
 from hdpgpc_tpu.models.mniw import MNIW
 from hdpgpc_tpu.ops import linalg
+from hdpgpc_tpu.ops.linalg import precise_jit
 from hdpgpc_tpu.ops.kalman import LDSParams, kalman_step, rts_pair
 from hdpgpc_tpu.ops.kernels import KernelParams, gram, gram_tpu
 
@@ -369,7 +370,7 @@ def build_refit(T: int, est_limit: Optional[int] = None,
                      started | member)
         return new_carry, (f_sm, P_sm)
 
-    @jax.jit
+    @precise_jit
     def refit(Y, resp, state: ClusterState) -> RefitResult:
         N = Y.shape[0]
         dtype = Y.dtype
@@ -596,7 +597,7 @@ def build_refit(T: int, est_limit: Optional[int] = None,
     return refit
 
 
-@jax.jit
+@precise_jit
 def lds_param_elbo(state: ClusterState, free_deg) -> jax.Array:
     """return_LDS_param_likelihood parity (GPI_model.py:459-486):
     MNIW log-density of the current (A, Gamma) and (C, Sigma) under
@@ -617,7 +618,7 @@ def lds_param_elbo(state: ClusterState, free_deg) -> jax.Array:
 # Online single-sample primitives (include_sample support)
 # ---------------------------------------------------------------------------
 
-@jax.jit
+@precise_jit
 def log_sq_error_last(state: ClusterState, y: jax.Array) -> jax.Array:
     """Score a new beat against the cluster's last state
     (GPI_model.log_sq_error with i=-1: mean = C f_last, cov = Sigma)."""
@@ -625,7 +626,7 @@ def log_sq_error_last(state: ClusterState, y: jax.Array) -> jax.Array:
     return linalg.gaussian_score(y - mean, state.Sigma)
 
 
-@jax.jit
+@precise_jit
 def estimate_new(state: ClusterState, y: jax.Array) -> jax.Array:
     """Score assuming the beat were included (GPI_HDP.estimate_new,
     GPI_HDP.py:2830-2842): posterior update with current params, then

@@ -140,10 +140,10 @@ class HDPGPC:
             else jnp.float64
         if self.dtype == jnp.float32:
             # v5e f32 matmuls default to bf16 passes, which destroys the
-            # SPD structure feeding the Cholesky chain; full-f32 passes
-            # cost nothing at these tile sizes and keep the speed mode
-            # finite (142x faster than emulated f64 per refit).
-            jax.config.update("jax_default_matmul_precision", "highest")
+            # SPD structure feeding the Cholesky chain. Full-precision
+            # passes are scoped INSIDE every compiled program via
+            # ops.linalg.precise_jit (rather than mutating process-global
+            # jax config — advisor r1).
             # The 4000-iteration Adam kernel fit is sequential device
             # latency; the speed mode caps it at the explicit
             # kernel_fit_iters_f32 budget (see GPConfig for the

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import optax
 
 from hdpgpc_tpu.ops.kernels import KernelParams
+from hdpgpc_tpu.ops.linalg import precise_jit
 
 
 def _softplus(x):
@@ -66,7 +67,7 @@ def _nll(params, x, y):
 _FIT_CHUNK = 500
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "lr"))
+@functools.partial(precise_jit, static_argnames=("chunk", "lr"))
 def _fit_chunk(tp, opt_state, buf, i0, n_lb, n_ub, x, y,
                chunk: int = _FIT_CHUNK, lr: float = 0.1):
     opt = optax.adam(lr)
@@ -201,7 +202,7 @@ def _sgpr_nll(params, x, y):
     return -ll / n
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "lr"))
+@functools.partial(precise_jit, static_argnames=("chunk", "lr"))
 def _sgpr_fit_chunk(tp, opt_state, buf, i0, n_lb, n_ub, x, y,
                     chunk: int = _FIT_CHUNK, lr: float = 0.1):
     opt = optax.adam(lr)

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hdpgpc_tpu.ops import linalg
+from hdpgpc_tpu.ops.linalg import precise_jit
 from hdpgpc_tpu.ops.kalman import rts_smooth
 
 
@@ -42,7 +43,7 @@ def _moments(A, Gamma, means, covs) -> EMStats:
     return EMStats(exp_tt, exp_t_t1, exp_t1_t)
 
 
-@jax.jit
+@precise_jit
 def m_step_dynamic(A, Gamma, C, Sigma, ys, means, covs):
     """One closed-form M-step (GPI.py:390-450 'dynamic').
 
@@ -86,7 +87,7 @@ def m_step_dynamic(A, Gamma, C, Sigma, ys, means, covs):
     return A_new, Gamma_new, C_new, Sigma_new
 
 
-@jax.jit
+@precise_jit
 def m_step_static(ys, means, covs):
     """Static model: only Sigma re-estimated (GPI.py:369-388)."""
     T = means.shape[1]
@@ -99,7 +100,7 @@ def m_step_static(ys, means, covs):
     return linalg.sym(S_acc / N) + 1e-8 * eye
 
 
-@jax.jit
+@precise_jit
 def joint_log_likelihood(A, Gamma, C, Sigma, ys, means, covs):
     """Joint LDS log-likelihood over latent transitions + emissions
     (GPI.log_likelihood, GPI.py:879-974 with t0=0 term dropped —
@@ -177,7 +178,7 @@ def ml_update(A, Gamma, C, Sigma, ys, means, covs, model_type="dynamic",
 # programs compile once per scan bucket instead of once per member count.
 # ---------------------------------------------------------------------------
 
-@jax.jit
+@precise_jit
 def m_step_dynamic_masked(A, Gamma, C, Sigma, ys, means, covs, w):
     """Masked closed-form M-step. ``w``: (N,) 0/1 slot validity,
     contiguous ones at the front (member-gathered order), so the valid
@@ -216,7 +217,7 @@ def m_step_dynamic_masked(A, Gamma, C, Sigma, ys, means, covs, w):
     return A_new, Gamma_new, C_new, Sigma_new
 
 
-@jax.jit
+@precise_jit
 def joint_log_likelihood_masked(A, Gamma, C, Sigma, ys, means, covs, w):
     """Masked joint LDS log-likelihood (transition + emission terms)."""
     T = means.shape[1]
@@ -247,7 +248,7 @@ def joint_log_likelihood_masked(A, Gamma, C, Sigma, ys, means, covs, w):
     return s1 + s2
 
 
-@jax.jit
+@precise_jit
 def masked_rts(A, Gamma, means, covs, w):
     """RTS smoother over member-gathered slots; padded tail slots
     (w == 0) are pass-throughs, so the backward recursion starts at the

@@ -25,6 +25,8 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from hdpgpc_tpu.ops.linalg import precise_jit
 import numpy as np
 
 from hdpgpc_tpu.ops import linalg
@@ -69,7 +71,7 @@ def init_stream_state(templates: jax.Array, ini_gamma: float,
 def build_stream_step(T: int, K: int):
     """One jitted chunk step: (state, Y (B, T)) -> (state', labels (B,))."""
 
-    @jax.jit
+    @precise_jit
     def step(state: StreamState, Y: jax.Array, mask: jax.Array
              ) -> Tuple[StreamState, jax.Array]:
         """mask: (B,) 1.0 for real beats, 0.0 for padding (padding

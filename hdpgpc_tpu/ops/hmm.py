@@ -20,6 +20,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from hdpgpc_tpu.ops.linalg import precise_jit
+
 
 def row_normalize_log(logw: jax.Array, axis: int = 1):
     """Subtract the row max (reference LogLik, GPI_HDP.py:632-661)."""
@@ -191,7 +193,7 @@ def coupled_pair_log(alpha, beta, trans_log_pi, log_q):
     return jnp.log(respPair / den)
 
 
-@jax.jit
+@precise_jit
 def fb_hard(start_log_pi, trans_log_pi, log_q):
     """Full pipeline: normalise q -> FB -> hard resp and respPair.
 

@@ -21,6 +21,24 @@ import jax.numpy as jnp
 LOG2PI = math.log(2.0 * math.pi)
 
 
+def precise_jit(fn=None, **jit_kwargs):
+    """jax.jit with matmul precision pinned to 'highest' INSIDE the
+    traced body. float32 speed mode needs full-precision passes (v5e
+    f32 matmuls default to bf16 passes, which destroys the SPD
+    structure feeding the Cholesky chains); scoping it per program
+    avoids mutating process-global jax config (advisor r1)."""
+    import functools
+
+    def wrap(f):
+        @functools.wraps(f)
+        def inner(*a, **k):
+            with jax.default_matmul_precision("highest"):
+                return f(*a, **k)
+        return jax.jit(inner, **jit_kwargs)
+
+    return wrap(fn) if fn is not None else wrap
+
+
 def sym(M: jax.Array) -> jax.Array:
     return 0.5 * (M + M.T)
 

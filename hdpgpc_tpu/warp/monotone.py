@@ -26,6 +26,8 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from hdpgpc_tpu.ops.linalg import precise_jit
 import optax
 
 
@@ -61,7 +63,7 @@ def make_warp_prior(x: jax.Array, noise_warp: float,
     return WarpPrior(L=L, logdet=logdet)
 
 
-@jax.jit
+@precise_jit
 def warp_prior_score(prior: WarpPrior, x_warp: jax.Array) -> jax.Array:
     """Full GP log density of warp offsets (B, T) -> (B,)
     (WarpPriorAMTGP.log_sq_error_batch, amtgp:224-264)."""
@@ -122,7 +124,7 @@ def build_batch_warp(T: int, n_ctrl: int = 8, lr: float = 5e-2,
         g = x_min + (x_max - x_min) * g
         return g, g - x[None, :]
 
-    @functools.partial(jax.jit, static_argnames=())
+    @functools.partial(precise_jit, static_argnames=())
     def warp(x, Y_target, y_model, prior: WarpPrior, theta_rho, theta_omega,
              noise):
         B = Y_target.shape[0]
