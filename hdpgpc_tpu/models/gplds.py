@@ -116,11 +116,13 @@ def init_cluster_state(x_basis: jax.Array, theta: KernelParams,
     )
 
 
+@jax.jit
 def reinit_cluster_state(st: ClusterState, free_deg: float) -> ClusterState:
     """reinit_GP + reinit_LDS(save_last=False): reset the dynamics to
     the (post-kernel-fit) defaults, keep the fitted kernel
     (GPI_model.py:408-457). Plays the role of the reference's
-    deepcopy-then-reinit idiom before every refit."""
+    deepcopy-then-reinit idiom before every refit. Jitted: ONE dispatch
+    instead of ~20 eager ops on the latency-bound orchestration path."""
     z = jnp.zeros_like(st.f_last)
     eye = jnp.eye(st.A_def.shape[0], dtype=st.A_def.dtype)
     return st._replace(
@@ -130,10 +132,8 @@ def reinit_cluster_state(st: ClusterState, free_deg: float) -> ClusterState:
         f_sm_prev2=z, P_sm_prev2=st.K0, f_sm_first=z, P_sm_first=st.K0,
         A=st.A_def, Gamma=st.Gamma_def, C=st.C_def, Sigma=st.Sigma_def,
         A_prev=st.A_def, Gamma_prev=st.Gamma_def,
-        mniw_int=MNIW(st.A_def, eye, jnp.asarray(float(free_deg)),
-                      st.Gamma_def),
-        mniw_obs=MNIW(st.C_def, eye, jnp.asarray(float(free_deg)),
-                      st.Sigma_def),
+        mniw_int=MNIW(st.A_def, eye, jnp.asarray(free_deg), st.Gamma_def),
+        mniw_obs=MNIW(st.C_def, eye, jnp.asarray(free_deg), st.Sigma_def),
     )
 
 
@@ -167,6 +167,252 @@ def apply_kernel_fit(st: ClusterState, x_basis, theta: KernelParams
     )
 
 
+def _rel_jit(M: jax.Array, scale: float) -> jax.Array:
+    """Relative diagonal jitter (batched): scale * mean|diag|."""
+    d = jnp.maximum(jnp.mean(jnp.abs(jnp.diagonal(M, axis1=-2, axis2=-1)),
+                             axis=-1), jnp.finfo(M.dtype).eps)
+    eye = jnp.eye(M.shape[-1], dtype=M.dtype)
+    return M + scale * d[..., None, None] * eye
+
+
+def _tail_filter(Y_t, member_t, f_H, P_H, A, G, C, S):
+    """Fixed-parameter parallel Kalman filter over the frozen tail.
+
+    Past the estimation limit the LDS parameters are frozen
+    (GPI_model.py:974,1092), so the remaining member updates are a
+    standard Kalman filter — associative-scannable in O(log N) depth
+    (Sarkka & Garcia-Fernandez 2021). All steady steps share
+    (A_e, C_e, J) elements; only b and eta depend on y, so they are two
+    batched matmuls. Padding slots compose as identity elements.
+
+    Y_t: (Bt, T) gathered tail slots; member_t: (Bt,) bool;
+    (f_H, P_H): head-end filtered state. Returns filtered means
+    (Bt, T, 1) and covariances (Bt, T, T); padding slots carry the last
+    member's state forward (identity composition).
+    """
+    Bt, T = Y_t.shape
+    dtype = Y_t.dtype
+    eye = jnp.eye(T, dtype=dtype)
+    f32 = dtype == jnp.float32
+    jit = (lambda M: _rel_jit(M, 1e-5)) if f32 else (lambda M: M)
+
+    # ---- shared steady-state element pieces ----
+    S_in = jit(0.5 * ((C @ G @ C.T + S) + (C @ G @ C.T + S).T))
+    L_S = jnp.linalg.cholesky(S_in)
+    K = jax.scipy.linalg.cho_solve((L_S, True), (G @ C.T).T).T  # G C' S^-1
+    IKH = eye - K @ C
+    A_e = IKH @ A
+    C_e = IKH @ G
+    Sinv_H = jax.scipy.linalg.cho_solve((L_S, True), C)         # S^-1 C
+    J_sh = A.T @ C.T @ Sinv_H @ A
+    Vs = (Sinv_H @ A).T                                          # A'C'S^-1
+    b_all = Y_t @ K.T                                            # (Bt, T)
+    eta_all = Y_t @ Vs.T
+
+    # ---- first tail element: exact update from the head-end prior ----
+    m0 = A @ f_H
+    P0 = A @ P_H @ A.T + G
+    S0 = jit(0.5 * ((C @ P0 @ C.T + S) + (C @ P0 @ C.T + S).T))
+    L0 = jnp.linalg.cholesky(S0)
+    K0 = jax.scipy.linalg.cho_solve((L0, True), (P0 @ C.T).T).T
+    b0 = m0 + K0 @ (Y_t[0][:, None] - C @ m0)
+    C0 = P0 - K0 @ S0 @ K0.T
+
+    mem = member_t[:, None, None]
+    z_T1 = jnp.zeros((T, 1), dtype=dtype)
+    A_el = jnp.where(mem, jnp.broadcast_to(A_e, (Bt, T, T)), eye)
+    A_el = A_el.at[0].set(jnp.where(member_t[0], jnp.zeros((T, T), dtype),
+                                    eye))
+    b_el = jnp.where(mem, b_all[..., None], z_T1)
+    b_el = b_el.at[0].set(jnp.where(member_t[0], b0, z_T1))
+    C_el = jnp.where(mem, jnp.broadcast_to(C_e, (Bt, T, T)),
+                     jnp.zeros((T, T), dtype))
+    C_el = C_el.at[0].set(jnp.where(member_t[0], C0,
+                                    jnp.zeros((T, T), dtype)))
+    eta_el = jnp.where(mem, eta_all[..., None], z_T1)
+    eta_el = eta_el.at[0].set(z_T1)
+    J_el = jnp.where(mem, jnp.broadcast_to(J_sh, (Bt, T, T)),
+                     jnp.zeros((T, T), dtype))
+    J_el = J_el.at[0].set(jnp.zeros((T, T), dtype))
+
+    def combine(el, er):
+        A1, b1, C1, eta1, J1 = el
+        A2, b2, C2, eta2, J2 = er
+        I_ = jnp.eye(T, dtype=dtype)
+        I_C1J2 = I_ + C1 @ J2
+        I_J2C1 = I_ + J2 @ C1
+        M = jnp.linalg.solve(I_C1J2.swapaxes(-1, -2),
+                             A2.swapaxes(-1, -2)).swapaxes(-1, -2)
+        Nt = jnp.linalg.solve(I_J2C1.swapaxes(-1, -2), A1)
+        return (M @ A1,
+                M @ (b1 + C1 @ eta2) + b2,
+                M @ C1 @ A2.swapaxes(-1, -2) + C2,
+                Nt.swapaxes(-1, -2) @ (eta2 - J2 @ b1) + eta1,
+                Nt.swapaxes(-1, -2) @ J2 @ A1 + J1)
+
+    _, b, Cc, _, _ = jax.lax.associative_scan(
+        combine, (A_el, b_el, C_el, eta_el, J_el))
+    return b, 0.5 * (Cc + Cc.swapaxes(-1, -2))
+
+
+def _tail_steady(Y_t, member_t, f_H, P_H, A, G, C, S, anchor,
+                 warm: int = 64):
+    """float32 speed-mode tail: warm-up + steady-state (LTI) Kalman.
+
+    With frozen parameters the filter's covariance recursion converges
+    to its Riccati fixed point within a few dozen steps; past that the
+    filter is the LTI recursion f' = (I-KC)A f + K y whose associative
+    composition is matmul-only — each combine level is ONE batched
+    (T, T) matmul instead of the LU solves of the exact parallel filter
+    (those measure ~30 ms/level on v5e vs ~0.1 ms for the matmul).
+
+    Exactness: slots [0, warm) are sequential (exact); slots >= warm
+    use the converged gain (error below f32 rounding once P has
+    converged). The smoothed covariance depends only on the distance to
+    the anchor under a constant gain, so it is a table gather; the
+    warm-up region is re-smoothed exactly by a short sequential pass.
+
+    Returns (f_filt, P_filt, f_sm, P_sm) for the Bt tail slots.
+    """
+    Bt, T = Y_t.shape
+    dtype = Y_t.dtype
+    eye = jnp.eye(T, dtype=dtype)
+    W = min(warm, Bt)
+
+    def jit32(M):
+        return _rel_jit(0.5 * (M + M.swapaxes(-1, -2)), 1e-5)
+
+    # ---- sequential warm-up (exact fixed-param steps) ----
+    def wstep(carry, inp):
+        f, P = carry
+        y, mflag = inp
+        m = A @ f
+        P_pred = A @ P @ A.T + G
+        S_in = jit32(C @ P_pred @ C.T + S)
+        L = jnp.linalg.cholesky(S_in)
+        K = jax.scipy.linalg.cho_solve((L, True), (P_pred @ C.T).T).T
+        f_up = m + K @ (y[:, None] - C @ m)
+        IKC = eye - K @ C
+        P_up = IKC @ P_pred @ IKC.T + K @ S @ K.T
+        f_n = jnp.where(mflag, f_up, f)
+        P_n = jnp.where(mflag, P_up, P)
+        return (f_n, P_n), (f_n, P_n)
+
+    (f_W, P_W), (f_warm, P_warm) = jax.lax.scan(
+        wstep, (f_H, P_H), (Y_t[:W], member_t[:W]))
+
+    # ---- converged gain / steady covariances ----
+    P_pred_ss = A @ P_W @ A.T + G
+    S_ss = jit32(C @ P_pred_ss @ C.T + S)
+    L_ss = jnp.linalg.cholesky(S_ss)
+    K_ss = jax.scipy.linalg.cho_solve((L_ss, True), (P_pred_ss @ C.T).T).T
+    IKC = eye - K_ss @ C
+    P_ss = IKC @ P_pred_ss @ IKC.T + K_ss @ S @ K_ss.T
+    M_mem = IKC @ A
+
+    # ---- LTI associative scan over slots [W, Bt) ----
+    Br = Bt - W
+    if Br > 0:
+        memr = member_t[W:]
+        Ms = jnp.where(memr[:, None, None],
+                       jnp.broadcast_to(M_mem, (Br, T, T)), eye)
+        bs = jnp.where(memr[:, None], Y_t[W:] @ K_ss.T,
+                       jnp.zeros((Br, T), dtype))[..., None]
+        Mc, bc = jax.lax.associative_scan(
+            lambda l, r: (r[0] @ l[0], r[0] @ l[1] + r[1]), (Ms, bs))
+        f_rest = Mc @ f_W + bc
+        f_filt = jnp.concatenate([f_warm, f_rest])
+        P_filt = jnp.concatenate(
+            [P_warm, jnp.broadcast_to(P_ss, (Br, T, T))])
+    else:
+        f_filt, P_filt = f_warm, P_warm
+
+    # ---- smoothed means: reverse affine scan with anchor cut ----
+    P_pred2 = jit32(A @ P_ss @ A.T + G)
+    L2 = jnp.linalg.cholesky(P_pred2)
+    E = jax.scipy.linalg.cho_solve((L2, True), (P_ss @ A.T).T).T
+    anc = anchor[:, None, None]
+    Ems = jnp.where(anc, jnp.zeros((T, T), dtype),
+                    jnp.broadcast_to(E, (Bt, T, T)))
+    vs = jnp.where(anc, f_filt, f_filt - E @ (A @ f_filt))
+    _, f_sm = jax.lax.associative_scan(
+        lambda a, b: (b[0] @ a[0], b[0] @ a[1] + b[1]), (Ems, vs),
+        reverse=True)
+
+    # ---- smoothed covariance: distance-to-anchor table ----
+    W2 = 48
+    def tstep(P_sm_d, _):
+        P_n = P_ss + E @ (P_sm_d - P_pred2) @ E.T
+        return P_n, P_n
+    _, table_rest = jax.lax.scan(tstep, P_ss, None, length=W2 - 1)
+    table = jnp.concatenate([P_ss[None], table_rest])
+    # distance of slot i from the anchor slot (anchor = first True)
+    anchor_pos = jnp.argmax(anchor)          # first anchored slot
+    d = jnp.clip(anchor_pos - jnp.arange(Bt), 0, W2 - 1)
+    P_sm = table[d]
+
+    # ---- exact re-smooth of the warm-up region ----
+    # started0: a member run extends beyond the warm-up (no anchor yet)
+    started0 = jnp.logical_not(jnp.any(anchor[:W]))
+    f_after = f_sm[W] if W < Bt else f_W
+    P_after = P_sm[W] if W < Bt else P_W
+    init = (jnp.where(started0, f_after, f_W),
+            jnp.where(started0, P_after, P_W),
+            started0)
+
+    def bstep(carry, inp):
+        f_next, P_next, started = carry
+        mflag, f_t, P_t = inp
+        f_smp, P_smp = rts_pair(f_t, P_t, f_next, P_next, A, G)
+        f_s = jnp.where(started, f_smp, f_t)
+        P_s = jnp.where(started, P_smp, P_t)
+        return (jnp.where(mflag, f_s, f_next),
+                jnp.where(mflag, P_s, P_next),
+                started | mflag), (f_s, P_s)
+
+    _, (f_sm_w, P_sm_w) = jax.lax.scan(
+        bstep, init, (member_t[:W], f_warm, P_warm), reverse=True)
+    f_sm = jnp.concatenate([f_sm_w, f_sm[W:]])
+    P_sm = jnp.concatenate([P_sm_w, P_sm[W:]])
+    return f_filt, P_filt, f_sm, P_sm
+
+
+def _tail_smooth(f_filt_t, P_filt_t, A, G, anchor):
+    """Fixed-parameter parallel RTS smoother over the frozen tail.
+
+    ``anchor``: (Bt,) bool — True at the LAST member slot and at every
+    padding slot after it; the anchor element (E=0, g=f, L=P) cuts the
+    recursion so smoothed == filtered there, exactly like the
+    sequential backward pass's ``started`` flag.
+    """
+    Bt, T = f_filt_t.shape[0], f_filt_t.shape[1]
+    dtype = f_filt_t.dtype
+    f32 = dtype == jnp.float32
+    P_pred = A @ P_filt_t @ A.T + G                        # (Bt, T, T)
+    P_sym = 0.5 * (P_pred + P_pred.swapaxes(-1, -2))
+    P_sym = _rel_jit(P_sym, 1e-5 if f32 else 1e-12)
+    L = jnp.linalg.cholesky(P_sym)
+    # E = P A' P_pred^-1  (batched right-solve)
+    E = jax.scipy.linalg.cho_solve(
+        (L, True), (P_filt_t @ A.T).swapaxes(-1, -2)).swapaxes(-1, -2)
+    g = f_filt_t - E @ (A @ f_filt_t)
+    Lm = P_filt_t - E @ P_pred @ E.swapaxes(-1, -2)
+    anc = anchor[:, None, None]
+    E = jnp.where(anc, jnp.zeros_like(E), E)
+    g = jnp.where(anc, f_filt_t, g)
+    Lm = jnp.where(anc, P_filt_t, Lm)
+
+    def combine_rev(a, b):
+        E_a, g_a, L_a = a
+        E_b, g_b, L_b = b
+        return (E_b @ E_a, E_b @ g_a + g_b,
+                E_b @ L_a @ E_b.swapaxes(-1, -2) + L_b)
+
+    gs, Ls = jax.lax.associative_scan(
+        combine_rev, (E, g, Lm), reverse=True)[1:]
+    return gs, 0.5 * (Ls + Ls.swapaxes(-1, -2))
+
+
 class RefitResult(NamedTuple):
     q: jax.Array        # (N,) emission scores (compute_sq_err_all parity)
     q_lat: jax.Array    # (N,) latent scores (compute_q_lat_all parity)
@@ -179,7 +425,7 @@ def build_refit(T: int, est_limit: Optional[int] = None,
                 annealing: bool = True, dynamic: bool = True,
                 update_params: bool = True, pair_smooth: bool = True,
                 full_backward: bool = True, bucket: Optional[int] = None,
-                emit_smoothed: bool = False):
+                emit_smoothed: bool = False, hybrid: bool = True):
     """Build the jitted refit program for (static) beat length T.
 
     Returns ``refit(Y, resp, state) -> RefitResult`` with Y: (N, T) and
@@ -210,6 +456,13 @@ def build_refit(T: int, est_limit: Optional[int] = None,
     scans over all N.
     """
     limit = jnp.inf if est_limit is None else float(est_limit)
+    # Hybrid head/tail split: past the estimation limit every parameter
+    # update is a no-op (N_new < limit fails), so slots >= est_limit are
+    # fixed-parameter filtering — swapped for the associative-scan
+    # filter/smoother (O(log N) depth instead of O(N) sequential steps).
+    E_int = None if est_limit is None else max(int(est_limit), 1)
+    hybrid_ok = (hybrid and E_int is not None and dynamic and update_params
+                 and full_backward)
 
     def forward_step(carry, inp):
         (f, P, f_prevF, P_prevF, A, G, C, S, mniw, n,
@@ -395,27 +648,91 @@ def build_refit(T: int, est_limit: Optional[int] = None,
         carry0 = (state.f_last, state.P_last, state.f_prev, state.P_prev,
                   state.A, state.Gamma, state.C, state.Sigma,
                   mniw0, state.n, noise0, G0diag, S0diag)
-        carryF, emits = jax.lax.scan(forward_step, carry0, (Y_s, m_s))
-        if not full_backward:
-            (member, f_filt, P_filt, A_seq, G_seq, S_seq, score_mean,
-             f_smp, P_smp) = emits
-        else:
-            (member, f_filt, P_filt, A_seq, G_seq, S_seq,
-             score_mean) = emits
-            f_smp, P_smp = f_filt, P_filt
-        (f_lastF, P_lastF, f_prevF, P_prevF, A_f, G_f, C_f, S_f,
-         mniw_f, n_f, *_aux) = carryF
-        m_int_f = jax.tree.map(lambda a: a[0], mniw_f)
-        m_obs_f = jax.tree.map(lambda a: a[1], mniw_f)
-
-        # ---- full RTS backward pass over members ----
-        if dynamic and full_backward:
-            carryB0 = (f_lastF, P_lastF, jnp.asarray(False))
-            _, (f_sm, P_sm) = jax.lax.scan(
+        # f32 speed mode: short frozen tails are cheaper as part of the
+        # sequential scan than as the exact parallel filter (whose
+        # batched LU combines are slow on TPU); only split when the
+        # steady-state tail can engage.
+        if hybrid_ok and B > E_int and (dtype != jnp.float32
+                                        or B - E_int >= 128):
+            # ---- hybrid: sequential head (parameter updates live) +
+            # parallel frozen tail. Exact: by slot E_int every
+            # do_mniw/do_append condition is False (N_new >= limit), so
+            # the tail is a fixed-parameter Kalman filter.
+            Hh = E_int
+            Bt = B - Hh
+            carryF, emitsH = jax.lax.scan(forward_step, carry0,
+                                          (Y_s[:Hh], m_s[:Hh]))
+            (f_lastF, P_lastF, f_prevF, P_prevF, A_f, G_f, C_f, S_f,
+             mniw_f, n_head, *_aux) = carryF
+            (member_h, f_filt_h, P_filt_h, A_seq_h, G_seq_h, S_seq_h,
+             score_mean_h) = emitsH
+            member_t = m_s[Hh:] > 0.5
+            mb_all = jnp.sum(member_full.astype(jnp.int32))
+            anchor = (Hh + jnp.arange(Bt)) >= (mb_all - 1)
+            if dtype == jnp.float32 and Bt >= 128:
+                # speed mode: warm-up + steady-state LTI tail (matmul-
+                # only associative combines; see _tail_steady)
+                f_filt_t, P_filt_t, f_sm_t, P_sm_t = _tail_steady(
+                    Y_s[Hh:], member_t, f_lastF, P_lastF,
+                    A_f, G_f, C_f, S_f, anchor)
+            else:
+                f_filt_t, P_filt_t = _tail_filter(
+                    Y_s[Hh:], member_t, f_lastF, P_lastF,
+                    A_f, G_f, C_f, S_f)
+                f_sm_t, P_sm_t = _tail_smooth(f_filt_t, P_filt_t,
+                                              A_f, G_f, anchor)
+            # head backward, seeded by the first tail slot's smoothed
+            # state when the member run crosses the boundary
+            has_tail = mb_all > Hh
+            carryB0 = (jnp.where(has_tail, f_sm_t[0], f_lastF),
+                       jnp.where(has_tail, P_sm_t[0], P_lastF),
+                       has_tail)
+            _, (f_sm_h, P_sm_h) = jax.lax.scan(
                 backward_step, carryB0,
-                (member, f_filt, P_filt, A_seq, G_seq), reverse=True)
+                (member_h, f_filt_h, P_filt_h, A_seq_h, G_seq_h),
+                reverse=True)
+            member = jnp.concatenate([member_h, member_t])
+            f_filt = jnp.concatenate([f_filt_h, f_filt_t])
+            P_filt = jnp.concatenate([P_filt_h, P_filt_t])
+            A_seq = jnp.concatenate(
+                [A_seq_h, jnp.broadcast_to(A_f, (Bt,) + A_f.shape)])
+            G_seq = jnp.concatenate(
+                [G_seq_h, jnp.broadcast_to(G_f, (Bt,) + G_f.shape)])
+            S_seq = jnp.concatenate(
+                [S_seq_h, jnp.broadcast_to(S_f, (Bt,) + S_f.shape)])
+            score_mean = jnp.concatenate(
+                [score_mean_h, (f_filt_t.squeeze(-1)) @ C_f.T])
+            f_sm = jnp.concatenate([f_sm_h, f_sm_t])
+            P_sm = jnp.concatenate([P_sm_h, P_sm_t])
+            f_smp, P_smp = f_filt, P_filt
+            n_f = n_head + jnp.sum(member_t.astype(jnp.int32))
+            idxp = jnp.clip(mb_all - 2, 0, B - 1)
+            f_prevF = jnp.where(mb_all > Hh, f_filt[idxp], f_prevF)
+            P_prevF = jnp.where(mb_all > Hh, P_filt[idxp], P_prevF)
+            m_int_f = jax.tree.map(lambda a: a[0], mniw_f)
+            m_obs_f = jax.tree.map(lambda a: a[1], mniw_f)
         else:
-            f_sm, P_sm = f_filt, P_filt
+            carryF, emits = jax.lax.scan(forward_step, carry0, (Y_s, m_s))
+            if not full_backward:
+                (member, f_filt, P_filt, A_seq, G_seq, S_seq, score_mean,
+                 f_smp, P_smp) = emits
+            else:
+                (member, f_filt, P_filt, A_seq, G_seq, S_seq,
+                 score_mean) = emits
+                f_smp, P_smp = f_filt, P_filt
+            (f_lastF, P_lastF, f_prevF, P_prevF, A_f, G_f, C_f, S_f,
+             mniw_f, n_f, *_aux) = carryF
+            m_int_f = jax.tree.map(lambda a: a[0], mniw_f)
+            m_obs_f = jax.tree.map(lambda a: a[1], mniw_f)
+
+            # ---- full RTS backward pass over members ----
+            if dynamic and full_backward:
+                carryB0 = (f_lastF, P_lastF, jnp.asarray(False))
+                _, (f_sm, P_sm) = jax.lax.scan(
+                    backward_step, carryB0,
+                    (member, f_filt, P_filt, A_seq, G_seq), reverse=True)
+            else:
+                f_sm, P_sm = f_filt, P_filt
 
         # ---- emission scores (compute_sq_err_all parity) ----
         # emissions are per member SLOT (gathered order); samples map to

@@ -55,12 +55,14 @@ class Cluster:
     orchestrator's many compute_q_elbo calls per sweep.
     """
 
-    __slots__ = ("state", "fitted", "members", "lds_elbo", "uid")
+    __slots__ = ("state", "fitted", "members", "lds_elbo", "uid",
+                 "state_key")
 
     _uid_counter = [0]
 
     def __init__(self, state: ClusterState, fitted: bool = False,
-                 members: Optional[np.ndarray] = None):
+                 members: Optional[np.ndarray] = None,
+                 state_key: Optional[tuple] = None):
         self.state = state
         self.fitted = fitted
         self.members = (np.zeros(0, np.int64) if members is None
@@ -70,9 +72,18 @@ class Cluster:
         # be recycled by the allocator)
         Cluster._uid_counter[0] += 1
         self.uid = Cluster._uid_counter[0]
+        # Refit-memo identity: a refit reinits the state, so its output
+        # depends only on the state's DEFAULTS (theta/K0/A_def/...).
+        # Clusters whose defaults are provably identical share a key
+        # (all fresh default clusters; a cluster and its post-refit
+        # descendants). Falls back to a unique key (no memo sharing,
+        # always safe).
+        self.state_key = state_key if state_key is not None \
+            else ("uid", self.uid)
 
     def clone(self) -> "Cluster":
-        c = Cluster(self.state, self.fitted, self.members.copy())
+        c = Cluster(self.state, self.fitted, self.members.copy(),
+                    state_key=self.state_key)
         c.lds_elbo = self.lds_elbo
         return c
 
@@ -212,6 +223,9 @@ class HDPGPC:
 
         # compiled program caches
         self._refits = {}
+        # per-include_batch refit memo (see _job_key); [hits, misses]
+        self._refit_memo: Dict = {}
+        self._memo_stats = [0, 0]
         self._warp_fn = None
         self._warp_priors = {}
         # per-lead persistently stacked cluster states (online fast path)
@@ -230,12 +244,18 @@ class HDPGPC:
             lengthscale=jnp.asarray(self._def_lengthscale, jnp.float64),
             noise=jnp.asarray(self._def_bound_sigma[0], jnp.float64))
 
+    def _default_state_key(self) -> tuple:
+        return ("def", self._def_sigma, self._def_gamma,
+                self._def_outputscale, self._def_lengthscale,
+                self._def_bound_sigma)
+
     def _new_cluster(self) -> Cluster:
         st = gplds.init_cluster_state(
             jnp.asarray(self.x_basis), self._default_theta(),
             self._def_gamma, self._def_sigma,
             float(self.cfg.gp.free_deg_mniw), dtype=self.dtype)
-        return Cluster(st, fitted=False)
+        return Cluster(st, fitted=False,
+                       state_key=self._default_state_key())
 
     @staticmethod
     def _bucket_for(n_members: int, N: int) -> Optional[int]:
@@ -317,7 +337,8 @@ class HDPGPC:
             jax.block_until_ready(st.K0)
             print(f"[kf] apply seed={seed} {time.time() - _t1:.2f}s",
                   file=_sys.stderr, flush=True)
-        return Cluster(st, fitted=True, members=cl.members)
+        return Cluster(st, fitted=True, members=cl.members,
+                       state_key=("fitk", cl.state_key, ld, seed))
 
     def _refit_prog_ml(self, bucket=None):
         """Scoring program for the ML-EM path: fixed-parameter filter +
@@ -367,13 +388,71 @@ class HDPGPC:
             st2 = st2._replace(A=jnp.asarray(A, dt), Gamma=jnp.asarray(G, dt),
                                C=jnp.asarray(C, dt), Sigma=jnp.asarray(S, dt))
             res, _ = prog(Yj, rj, st2)
-        out = Cluster(res.state, cl2.fitted, members)
+        out = Cluster(res.state, cl2.fitted, members,
+                      state_key=cl2.state_key)
         snr_out = np.asarray(res.snr) if self.cfg.use_snr \
             else np.ones(Y.shape[0])
         return (np.asarray(res.q), np.asarray(res.q_lat), snr_out, out)
 
+    # ------------------------------------------------------------------
+    # Refit memoisation: birth/realloc trials within a sweep repeatedly
+    # refit the SAME cluster with the SAME member set (the big cluster's
+    # column returns to an identical configuration across candidate
+    # trials). A refit is a pure function of (cluster defaults, lead,
+    # data column, resp column, update_params), so results are cached on
+    # that key for the duration of one include_batch call.
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _digest(arr: np.ndarray) -> bytes:
+        import hashlib
+        return hashlib.blake2b(np.ascontiguousarray(arr).tobytes(),
+                               digest_size=16).digest()
+
+    def _job_key(self, cl: Cluster, ld: int, Y: np.ndarray,
+                 resp_col: np.ndarray, update_params: bool):
+        return (cl.state_key, cl.fitted, ld, bool(update_params),
+                self._digest(resp_col), self._digest(Y))
+
+    _MEMO_CAP = 768   # entries; each holds a ~1 MB device ClusterState
+
+    def _memo_put(self, key, val):
+        if len(self._refit_memo) >= self._MEMO_CAP:
+            self._refit_memo.clear()
+        self._refit_memo[key] = val
+
     def _full_refit(self, cl: Cluster, ld: int, Y: np.ndarray,
                     resp_col: np.ndarray, update_params=True):
+        key = self._job_key(cl, ld, Y, resp_col, update_params)
+        hit = self._refit_memo.get(key)
+        if hit is not None:
+            self._memo_stats[0] += 1
+            return hit
+        self._memo_stats[1] += 1
+        out = self._full_refit_raw(cl, ld, Y, resp_col,
+                                   update_params=update_params)
+        self._memo_put(key, out)
+        return out
+
+    def _full_refit_batch(self, jobs, update_params=True):
+        if not jobs:
+            return []
+        keys = [self._job_key(cl, ld, Y, rc, update_params)
+                for (cl, ld, Y, rc) in jobs]
+        results = [self._refit_memo.get(k) for k in keys]
+        miss = [i for i, r in enumerate(results) if r is None]
+        self._memo_stats[0] += len(jobs) - len(miss)
+        self._memo_stats[1] += len(miss)
+        if miss:
+            fresh = self._full_refit_batch_raw(
+                [jobs[i] for i in miss], update_params=update_params)
+            for i, r in zip(miss, fresh):
+                self._memo_put(keys[i], r)
+                results[i] = r
+        return results
+
+    def _full_refit_raw(self, cl: Cluster, ld: int, Y: np.ndarray,
+                        resp_col: np.ndarray, update_params=True):
         """reinit + (kernel fit) + fused refit. Y: (N, T) for this lead.
 
         Returns (q, q_lat, snr, Cluster)."""
@@ -392,10 +471,11 @@ class HDPGPC:
         res = prog(jnp.asarray(Y, self.dtype),
                    jnp.asarray(resp_col, self.dtype), cl2.state)
         members = np.flatnonzero(resp_col > 0.99)
-        out = Cluster(res.state, cl2.fitted, members)
-        snr_out = np.asarray(res.snr) if self.cfg.use_snr \
-            else np.ones(Y.shape[0])
-        ret = (np.asarray(res.q), np.asarray(res.q_lat), snr_out, out)
+        out = Cluster(res.state, cl2.fitted, members,
+                      state_key=cl2.state_key)
+        q_h, ql_h, snr_h = jax.device_get((res.q, res.q_lat, res.snr))
+        snr_out = snr_h if self.cfg.use_snr else np.ones(Y.shape[0])
+        ret = (q_h, ql_h, snr_out, out)
         if _os.environ.get("HDPGPC_FIT_DEBUG") == "1":
             import sys as _sys
             print(f"[r1] members={members.size} bucket={bucket} "
@@ -420,8 +500,8 @@ class HDPGPC:
             print(f"  [time] {k}: {self.timings[k]:.1f}s x{self.counts[k]}")
         print(f"  [time] total tracked: {tot:.1f}s")
 
-    def _full_refit_batch(self, jobs, update_params=True):
-        """Batched version of _full_refit.
+    def _full_refit_batch_raw(self, jobs, update_params=True):
+        """Batched version of _full_refit (memo-free inner dispatcher).
 
         jobs: list of (cl, ld, Y (N, T), resp_col). Returns a list of
         (q, q_lat, snr, Cluster) in job order. All jobs must share N, T.
@@ -435,8 +515,8 @@ class HDPGPC:
                     for (cl, ld, Y, rc) in jobs]
         if len(jobs) == 1:
             cl, ld, Y, rc = jobs[0]
-            return [self._full_refit(cl, ld, Y, rc,
-                                     update_params=update_params)]
+            return [self._full_refit_raw(cl, ld, Y, rc,
+                                         update_params=update_params)]
         # group jobs by their own scan bucket (batching a small cluster
         # with a large one would inflate its scan length to the group
         # max), then cap B * bucket per vmapped call so peak HBM stays
@@ -453,7 +533,7 @@ class HDPGPC:
             results = [None] * len(jobs)
             for b, idxs in order.items():
                 sub = [jobs[i] for i in idxs]
-                for i, r in zip(idxs, self._full_refit_batch(
+                for i, r in zip(idxs, self._full_refit_batch_raw(
                         sub, update_params=update_params)):
                     results[i] = r
             return results
@@ -482,7 +562,7 @@ class HDPGPC:
         if len(jobs) > max_jobs:
             out = []
             for s_ in range(0, len(jobs), max_jobs):
-                out.extend(self._full_refit_batch(
+                out.extend(self._full_refit_batch_raw(
                     jobs[s_:s_ + max_jobs], update_params=update_params))
             return out
         prepped = []
@@ -501,19 +581,19 @@ class HDPGPC:
         prog = self._refit_prog_batched(update_params=update_params,
                                         bucket=bucket)
         res = prog(Yb, Rb, states)
-        qs = np.asarray(res.q)
-        qls = np.asarray(res.q_lat)
+        qs, qls, snrs = jax.device_get((res.q, res.q_lat, res.snr))
         # use_snr=False: the reference's compute_snr returns ones
         # (GPI_HDP.py:748-750); the refit's computed SNR must not leak
         # into the fusion weights
-        snrs = np.asarray(res.snr) if self.cfg.use_snr \
-            else np.ones_like(np.asarray(res.snr))
+        if not self.cfg.use_snr:
+            snrs = np.ones_like(snrs)
         out = []
         for i, (cl, ld, Y, rc) in enumerate(jobs):
             st_i = jax.tree.map(lambda x: x[i], res.state)
             members = np.flatnonzero(rc > 0.99)
             out.append((qs[i], qls[i], snrs[i],
-                        Cluster(st_i, prepped[i].fitted, members)))
+                        Cluster(st_i, prepped[i].fitted, members,
+                                state_key=prepped[i].state_key)))
         return out
 
     # ------------------------------------------------------------------
@@ -596,18 +676,24 @@ class HDPGPC:
         """
         K = q_w.shape[1]
         Kp = ((K + 3) // 4) * 4
-        q_p = np.full((q_w.shape[0], Kp), -np.inf)
+        # float32 speed mode runs the message passing in f32 too (f64 is
+        # emulated on TPU); the evidence was computed in f32 upstream, so
+        # the hard-argmax decisions see no additional information loss.
+        fdt = np.float32 if self.dtype == jnp.float32 else np.float64
+        q_p = np.full((q_w.shape[0], Kp), -np.inf, fdt)
         q_p[:, :K] = q_w
-        sp = np.full((Kp,), -np.inf)
+        sp = np.full((Kp,), -np.inf, fdt)
         spn = np.asarray(startPi)
         sp[:min(spn.shape[0], Kp)] = spn[:min(spn.shape[0], Kp)]
-        tp = np.full((Kp, Kp), -np.inf)
+        tp = np.full((Kp, Kp), -np.inf, fdt)
         tp[:K, :K] = self._trans_log_pi_for_K(K)
-        resp, logresp, respPair, logrespPair = hmm_ops.fb_hard(
-            jnp.asarray(sp), jnp.asarray(tp), jnp.asarray(q_p))
-        return (np.asarray(resp)[:, :K], np.asarray(logresp)[:, :K],
-                np.asarray(respPair)[:, :K, :K],
-                np.asarray(logrespPair)[:, :K, :K])
+        out = hmm_ops.fb_hard(jnp.asarray(sp), jnp.asarray(tp),
+                              jnp.asarray(q_p))
+        # single packed fetch: each separate device->host sync costs a
+        # full tunnel round-trip (~30 ms measured)
+        resp, logresp, respPair, logrespPair = jax.device_get(out)
+        return (resp[:, :K], logresp[:, :K], respPair[:, :K, :K],
+                logrespPair[:, :K, :K])
 
     # ------------------------------------------------------------------
     # ELBO accounting (GPI_HDP.compute_q_elbo, GPI_HDP.py:1796-1864)
@@ -986,6 +1072,8 @@ class HDPGPC:
                 for ld_ in range(self.n_outputs):
                     for m_ in range(len(self.clusters[ld_])):
                         self.clusters[ld_][m_] = self._new_cluster()
+        self._refit_memo.clear()
+        self._memo_stats = [0, 0]
         h = self.cfg.hdp
         print("------ HDP Hyperparameters ------", flush=True)
         print("gamma: " + str(h.gamma))
@@ -1025,8 +1113,11 @@ class HDPGPC:
                 M = self.M
             self._hdp_global_update(resp, respPair, M, n_iters=2)
             if self.T_count > 1:
-                elbo_ = float(hmm_ops.entropy_terms(jnp.asarray(resp),
-                                                    jnp.asarray(respPair)))
+                edt = np.float32 if self.dtype == jnp.float32 \
+                    else np.float64
+                elbo_ = float(hmm_ops.entropy_terms(
+                    jnp.asarray(resp.astype(edt)),
+                    jnp.asarray(respPair.astype(edt))))
                 print(f"\n-------End Lower Bound Iteration {iteration}-------")
                 q_obs, elbo_lin = self.compute_q_elbo(
                     resp, respPair, self.weight_mean(q),
@@ -1081,6 +1172,7 @@ class HDPGPC:
             return
         self._def_sigma, self._def_gamma = s, g
         self._def_bound_sigma, self._def_bound_gamma = bs, bg
+        self._refit_memo.clear()
         print("-----------Reestimated ------------", flush=True)
         print("Sigma: ", s)
         print("Gamma: ", g)
@@ -1242,16 +1334,27 @@ class HDPGPC:
     def _seed_score(self, cl: Cluster, ld: int, Y: np.ndarray,
                     seed: int):
         """q_simple column: reinit, include ONE representative beat with
-        no Bayesian update, score all beats (GPI_HDP.py:1284-1297)."""
+        no Bayesian update, score all beats (GPI_HDP.py:1284-1297).
+        Memoised alongside the refits (birth trials re-score the same
+        (cluster, seed) pair repeatedly)."""
+        key = ("seed", cl.state_key, cl.fitted, ld, int(seed),
+               self._digest(Y))
+        hit = self._refit_memo.get(key)
+        if hit is not None:
+            self._memo_stats[0] += 1
+            return hit
+        self._memo_stats[1] += 1
         st = gplds.reinit_cluster_state(cl.state,
                                         float(self.cfg.gp.free_deg_mniw))
-        cl2 = Cluster(st, cl.fitted, cl.members)
+        cl2 = Cluster(st, cl.fitted, cl.members, state_key=cl.state_key)
         resp_seed = np.zeros(Y.shape[0]); resp_seed[seed] = 1.0
         prog = self._refit_prog(update_params=False,
                                 bucket=self._bucket_for(1, Y.shape[0]))
         res = prog(jnp.asarray(Y, self.dtype),
                    jnp.asarray(resp_seed, self.dtype), cl2.state)
-        return np.asarray(res.q), np.asarray(res.snr)
+        out = jax.device_get((res.q, res.snr))
+        self._memo_put(key, out)
+        return out
 
     @staticmethod
     def _normalized_rank(v: np.ndarray) -> np.ndarray:
@@ -2760,8 +2863,11 @@ class HDPGPC:
                 M = self.M
             self._hdp_global_update(resp, respPair, M, n_iters=2)
             if self.T_count > 1:
-                elbo_ = float(hmm_ops.entropy_terms(jnp.asarray(resp),
-                                                    jnp.asarray(respPair)))
+                edt = np.float32 if self.dtype == jnp.float32 \
+                    else np.float64
+                elbo_ = float(hmm_ops.entropy_terms(
+                    jnp.asarray(resp.astype(edt)),
+                    jnp.asarray(respPair.astype(edt))))
                 q_obs, elbo_lin = self.compute_q_elbo(
                     resp, respPair, self.weight_mean(q),
                     self.weight_mean(q_lat), self.clusters, self.M,
