@@ -1,7 +1,22 @@
 """Long-horizon streaming stress: 1M synthetic beats, K=64 clusters
 (BASELINE.json config 5).
 
+Two modes:
+
+* default (fixed-K classification): frozen-parameter streaming
+  classifier (models/streaming.py) — all 64 morphologies known up
+  front, measures pure classification throughput at constant memory.
+* ``--grow`` (growth stress): full online VI via the fused streaming
+  engine (models/stream_online.OnlineStreamEngine) — the stream starts
+  with ONE morphology and introduces a new one every
+  ``beats/n_clusters`` beats; clusters are BORN on device into
+  preallocated slots up to K=64, LDS parameter updates freeze past the
+  estimation limit (GPI_HDP.py:90 semantics), and memory stays
+  constant (the carry is a fixed K-slot bank). Reports beats/s, final
+  cluster count, and majority-mapped accuracy.
+
 Usage: python examples/run_stress_stream.py [--beats 1000000] [--k 64]
+           [--grow]
 """
 
 import argparse
@@ -10,13 +25,110 @@ import time
 import numpy as np
 
 
+def synthetic_growth_stream(n, T, n_clusters, seed, start_beat,
+                            interval):
+    """Synthetic beats where cluster c only appears after beat
+    c * interval — a growth schedule (new morphology every interval
+    beats). Deterministic given (seed, start_beat)."""
+    z_rng = np.random.default_rng(seed)
+    z = z_rng.integers(0, n_clusters, size=n)
+    # remap each beat's cluster into the currently-available set
+    avail = 1 + (start_beat + np.arange(n)) // interval
+    avail = np.minimum(avail, n_clusters)
+    z = z % avail
+    t = np.linspace(0.0, 1.0, T)
+    rng = np.random.default_rng(0)  # fixed template bank across blocks
+    centers = rng.uniform(0.15, 0.85, size=n_clusters)
+    widths = rng.uniform(0.03, 0.12, size=n_clusters)
+    amps = rng.uniform(0.8, 2.0, size=n_clusters)
+    tmpl = amps[:, None] * np.exp(
+        -0.5 * ((t[None, :] - centers[:, None]) / widths[:, None]) ** 2)
+    noise_rng = np.random.default_rng(seed + 1)
+    y = tmpl[z] + 0.05 * noise_rng.standard_normal((n, T))
+    return y.astype(np.float64), z
+
+
+def run_grow(args):
+    from hdpgpc_tpu.data.loader import default_x_basis
+    from hdpgpc_tpu.models.hdpgpc import HDPGPC
+    from hdpgpc_tpu.models.stream_online import OnlineStreamEngine
+
+    K, T = args.k, args.t
+    interval = max(args.beats // K, 1)
+    warm, _ = synthetic_growth_stream(256, T, K, seed=7, start_beat=0,
+                                      interval=interval)
+    std = float(np.std(warm))
+    std_dif = float(np.std(np.diff(warm, axis=0)))
+    bs = (std * 0.05, std * 0.2)
+    bg = (std_dif * 0.05, std_dif * 0.2)
+    model = HDPGPC(default_x_basis(T), n_outputs=1, ini_lengthscale=3.0,
+                   bound_lengthscale=(1.0, 20.0), ini_gamma=std_dif,
+                   ini_sigma=std, ini_outputscale=4.0, bound_sigma=bs,
+                   bound_gamma=bg, verbose=False, hmm_switch=True,
+                   max_models=K, bayesian_params=True,
+                   estimation_limit=100, free_deg_MNIV=5,
+                   compute_dtype="float32")
+    eng = OnlineStreamEngine(model, K=K, chunk=args.chunk)
+
+    block = 65536
+    done = 0
+    z_all = []
+    t0 = None
+    t_start = time.time()
+    while done < args.beats:
+        n = min(block, args.beats - done)
+        y, z = synthetic_growth_stream(n, T, K, seed=100 + done,
+                                       start_beat=done,
+                                       interval=interval)
+        # refresh rho/omega on the host once per block (1000+ clusters
+        # of history between refreshes is the documented cadence
+        # divergence; in-program reinit still runs every beat)
+        eng.run(y, hdp_refresh=True)
+        z_all.append(z)
+        if t0 is None:
+            # exclude first-block compile from steady-state throughput
+            # (single-block runs keep it and report compile-inclusive)
+            t0 = time.time()
+            done0 = n if args.beats > block else 0
+            if done0 == 0:
+                t0 = t_start
+        done += n
+        if done % (block * 4) < block:
+            dt = max(time.time() - t0, 1e-9)
+            M = int(np.asarray(eng.carry.M))
+            print(f"{done}/{args.beats} beats  "
+                  f"{(done - done0) / dt:.0f} beats/s  M={M}",
+                  flush=True)
+    dt = max(time.time() - t0, 1e-9)
+    z_all = np.concatenate(z_all)
+    uids = np.asarray(eng.uids)
+    M = int(np.asarray(eng.carry.M))
+    # majority mapping uid -> true cluster
+    correct = 0
+    for u in np.unique(uids):
+        idx = np.flatnonzero(uids == u)
+        _v, c = np.unique(z_all[idx], return_counts=True)
+        correct += int(c.max())
+    acc = correct / max(done, 1)
+    bps = (done - done0) / dt
+    print(f"GROWTH STRESS DONE: {done} beats, K_slots={K}, "
+          f"clusters_born={M}, {bps:.0f} beats/s, acc={acc:.4f}, "
+          f"{dt / 60:.1f} min (steady-state, first block excluded)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--beats", type=int, default=1_000_000)
     ap.add_argument("--k", type=int, default=64)
     ap.add_argument("--t", type=int, default=90)
     ap.add_argument("--chunk", type=int, default=8192)
+    ap.add_argument("--grow", action="store_true",
+                    help="full online VI with on-device births up to K")
     args = ap.parse_args()
+
+    if args.grow:
+        args.chunk = min(args.chunk, 1024)
+        return run_grow(args)
 
     import jax.numpy as jnp
     from hdpgpc_tpu.data.loader import synthetic_beats

@@ -26,6 +26,7 @@ Known deliberate divergences from the reference (documented):
 
 from __future__ import annotations
 
+import os
 import pickle
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -226,7 +227,9 @@ class HDPGPC:
         # per-include_batch refit memo (see _job_key); [hits, misses]
         self._refit_memo: Dict = {}
         self._memo_stats = [0, 0]
-        self._warp_fn = None
+        self._y_dev_cache: Dict = {}
+        self._warp_fn_online = None
+        self._warp_fn_batch = None
         self._warp_priors = {}
         # per-lead persistently stacked cluster states (online fast path)
         self._stack_cache: Dict[int, Tuple[tuple, object]] = {}
@@ -257,14 +260,26 @@ class HDPGPC:
         return Cluster(st, fitted=False,
                        state_key=self._default_state_key())
 
+    # ------------------------------------------------------------------
+    # Program-shape discipline: every distinct (scan bucket, vmap width)
+    # is a separate XLA compile costing 15-55 s; a compile landing
+    # INSIDE a timed sweep is the dominant latency outlier on TPU.
+    # Buckets are therefore restricted to {_SMALL_BUCKET, full-N} and
+    # vmapped job batches are padded to a power of two (<= _MAX_VMAP) by
+    # zero-resp dummy jobs, so the whole orchestration runs on a small
+    # fixed program lattice that warmup_programs() can compile up front.
+    # ------------------------------------------------------------------
+
+    _SMALL_BUCKET = 256
+    _MAX_VMAP = 4
+
     @staticmethod
     def _bucket_for(n_members: int, N: int) -> Optional[int]:
-        """Smallest power-of-two scan bucket covering the member count
-        (the refit scans gathered members, not all N beats)."""
-        b = 32
-        while b < n_members:
-            b *= 2
-        return None if b >= N else b
+        """Scan bucket for the member count: the small fixed bucket when
+        the members fit, else full N (the refit scans gathered members;
+        padding slots at the tail are pass-throughs)."""
+        b = HDPGPC._SMALL_BUCKET
+        return b if n_members <= b < N else None
 
     def _refit_prog(self, update_params=True, pair_smooth=True,
                     full_backward=True, bucket=None):
@@ -275,8 +290,29 @@ class HDPGPC:
                 annealing=self.cfg.gp.annealing,
                 dynamic=self.cfg.gp.model_type == "dynamic",
                 update_params=update_params, pair_smooth=pair_smooth,
-                full_backward=full_backward, bucket=bucket)
+                full_backward=full_backward, bucket=bucket,
+                free_deg=float(self.cfg.gp.free_deg_mniw))
         return self._refits[key]
+
+    def warmup_programs(self, N: int) -> None:
+        """Compile the refit program lattice for data length N up front
+        (bucket x vmap-width x update_params). One call per process +
+        shape; production services call this at startup so no sweep
+        ever pays a mid-run XLA compile."""
+        dummy_Y = np.zeros((N, self.Tb))
+        base = self._new_cluster()
+        for update_params in (True, False):
+            widths = [1] if N <= self._SMALL_BUCKET else [1, 2,
+                                                          self._MAX_VMAP]
+            for B in widths:
+                for n_mem in (1, self._SMALL_BUCKET + 1):
+                    if n_mem > N:
+                        continue
+                    rc = np.zeros(N)
+                    rc[:n_mem] = 1.0
+                    jobs = [(base, 0, dummy_Y, rc)] * B
+                    self._full_refit_batch_raw(
+                        jobs, update_params=update_params)
 
     def _fit_theta(self, y: np.ndarray) -> KernelParams:
         """Kernel hyperparameter fit on one beat: exact-GP Adam
@@ -370,12 +406,13 @@ class HDPGPC:
         from hdpgpc_tpu.models import ml_em
         st = gplds.reinit_cluster_state(cl.state,
                                         float(self.cfg.gp.free_deg_mniw))
-        cl2 = Cluster(st, cl.fitted, cl.members)
+        cl2 = Cluster(st, cl.fitted, cl.members,
+                      state_key=cl.state_key)
         cl2 = self._maybe_kernel_fit(cl2, ld, Y, resp_col)
         members = np.flatnonzero(resp_col > 0.99)
         bucket = self._bucket_for(members.size, Y.shape[0])
         prog = self._refit_prog_ml(bucket=bucket)
-        Yj = jnp.asarray(Y, self.dtype)
+        Yj = self._dev_Y(Y)
         rj = jnp.asarray(resp_col, self.dtype)
         res, (Y_s, f_sm, P_sm, m_s) = prog(Yj, rj, cl2.state)
         st2 = cl2.state
@@ -415,6 +452,21 @@ class HDPGPC:
                 self._digest(resp_col), self._digest(Y))
 
     _MEMO_CAP = 768   # entries; each holds a ~1 MB device ClusterState
+
+    def _dev_Y(self, Y: np.ndarray) -> jax.Array:
+        """Device-resident cache of the per-lead data tensor. Refit
+        calls repeat the SAME (N, T) Y dozens of times per sweep (warp
+        off: every cluster's column is the raw lead); shipping ~1 MB
+        host->device per call dominates per-call overhead on a
+        tunnelled TPU, so uploads are cached by content digest."""
+        key = (self._digest(Y), Y.shape)
+        buf = self._y_dev_cache.get(key)
+        if buf is None:
+            if len(self._y_dev_cache) >= 32:
+                self._y_dev_cache.clear()
+            buf = jnp.asarray(Y, self.dtype)
+            self._y_dev_cache[key] = buf
+        return buf
 
     def _memo_put(self, key, val):
         if len(self._refit_memo) >= self._MEMO_CAP:
@@ -459,29 +511,10 @@ class HDPGPC:
         if update_params and not self.cfg.bayesian_params:
             return self._full_refit_ml(cl, ld, Y, resp_col,
                                        update_params=update_params)
-        import os as _os
-        _t0 = time.time()
-        st = gplds.reinit_cluster_state(cl.state,
-                                        float(self.cfg.gp.free_deg_mniw))
-        cl2 = Cluster(st, cl.fitted, cl.members)
-        cl2 = self._maybe_kernel_fit(cl2, ld, Y, resp_col)
-        bucket = self._bucket_for(int(np.sum(resp_col > 0.99)),
-                                  Y.shape[0])
-        prog = self._refit_prog(update_params=update_params, bucket=bucket)
-        res = prog(jnp.asarray(Y, self.dtype),
-                   jnp.asarray(resp_col, self.dtype), cl2.state)
-        members = np.flatnonzero(resp_col > 0.99)
-        out = Cluster(res.state, cl2.fitted, members,
-                      state_key=cl2.state_key)
-        q_h, ql_h, snr_h = jax.device_get((res.q, res.q_lat, res.snr))
-        snr_out = snr_h if self.cfg.use_snr else np.ones(Y.shape[0])
-        ret = (q_h, ql_h, snr_out, out)
-        if _os.environ.get("HDPGPC_FIT_DEBUG") == "1":
-            import sys as _sys
-            print(f"[r1] members={members.size} bucket={bucket} "
-                  f"N={Y.shape[0]} up={update_params} "
-                  f"{time.time() - _t0:.2f}s", file=_sys.stderr, flush=True)
-        return ret
+        # single-job path rides the batched program at width 1 so the
+        # whole orchestration shares one small program lattice
+        return self._full_refit_batch_inner(
+            [(cl, ld, Y, resp_col)], update_params=update_params)[0]
 
     def _refit_prog_batched(self, update_params=True, bucket=None):
         """jit(vmap(refit)): run B cluster refits in ONE XLA call —
@@ -499,6 +532,8 @@ class HDPGPC:
         for k in sorted(self.timings, key=lambda k: -self.timings[k]):
             print(f"  [time] {k}: {self.timings[k]:.1f}s x{self.counts[k]}")
         print(f"  [time] total tracked: {tot:.1f}s")
+        print(f"  [memo] refit hits/misses: {self._memo_stats[0]}/"
+              f"{self._memo_stats[1]}")
 
     def _full_refit_batch_raw(self, jobs, update_params=True):
         """Batched version of _full_refit (memo-free inner dispatcher).
@@ -517,84 +552,83 @@ class HDPGPC:
             cl, ld, Y, rc = jobs[0]
             return [self._full_refit_raw(cl, ld, Y, rc,
                                          update_params=update_params)]
-        # group jobs by their own scan bucket (batching a small cluster
-        # with a large one would inflate its scan length to the group
-        # max), then cap B * bucket per vmapped call so peak HBM stays
-        # bounded (an uncapped vmap8 x N=500 run crashed the TPU worker).
+        # All jobs share ONE vmapped program at the LARGEST bucket: a
+        # small job padded to the group bucket costs (almost) nothing
+        # extra on device, while a separate call costs a full dispatch +
+        # fetch round trip (~30 ms each on the tunnelled TPU).
         N_all = jobs[0][2].shape[0]
-        def job_bucket(j):
-            b = self._bucket_for(int(np.sum(j[3] > 0.99)), N_all)
-            return N_all if b is None else b
-        buckets = [job_bucket(j) for j in jobs]
-        if len(set(buckets)) > 1:
-            order = {}
-            for i, b in enumerate(buckets):
-                order.setdefault(b, []).append(i)
-            results = [None] * len(jobs)
-            for b, idxs in order.items():
-                sub = [jobs[i] for i in idxs]
-                for i, r in zip(idxs, self._full_refit_batch_raw(
-                        sub, update_params=update_params)):
-                    results[i] = r
-            return results
         import os as _os
         if _os.environ.get("HDPGPC_FIT_DEBUG") == "1":
             import sys as _sys
             import time as _time
             _t0 = _time.time()
             out = self._full_refit_batch_inner(jobs, update_params)
-            print(f"[rb] jobs={len(jobs)} bucket={buckets[0]} "
-                  f"N={N_all} {_time.time() - _t0:.2f}s",
+            print(f"[rb] jobs={len(jobs)} N={N_all} "
+                  f"{_time.time() - _t0:.2f}s",
                   file=_sys.stderr, flush=True)
             return out
         return self._full_refit_batch_inner(jobs, update_params)
 
     def _full_refit_batch_inner(self, jobs, update_params=True):
-        eff_bucket = self._bucket_for(
-            int(np.sum(jobs[0][3] > 0.99)), jobs[0][2].shape[0])
+        # Group jobs by scan bucket (small vs full-N — batching a tiny
+        # birth-seed job at the full bucket would waste a long scan),
+        # pad each group's width to a power of two (<= _MAX_VMAP,
+        # splitting bigger groups) with zero-resp dummy jobs, dispatch
+        # every group asynchronously, then pay ONE blocking round trip
+        # for all the small fetched outputs.
         N_all = jobs[0][2].shape[0]
-        eff_bucket = N_all if eff_bucket is None else eff_bucket
-        # HBM budget: the 4096-item cap was sized for T=50 covariance
-        # footprints; scale it down quadratically for longer series.
-        T_ = jobs[0][2].shape[1]
-        cap = max(64, int(4096 * min(1.0, (50.0 / max(T_, 1)) ** 2)))
-        max_jobs = max(1, int(cap // max(eff_bucket, 1)))
-        if len(jobs) > max_jobs:
-            out = []
-            for s_ in range(0, len(jobs), max_jobs):
-                out.extend(self._full_refit_batch_raw(
-                    jobs[s_:s_ + max_jobs], update_params=update_params))
-            return out
-        prepped = []
-        for cl, ld, Y, rc in jobs:
-            st = gplds.reinit_cluster_state(
-                cl.state, float(self.cfg.gp.free_deg_mniw))
-            c2 = Cluster(st, cl.fitted, cl.members)
-            c2 = self._maybe_kernel_fit(c2, ld, Y, rc)
-            prepped.append(c2)
-        states = jax.tree.map(lambda *xs: jnp.stack(xs),
-                              *[c.state for c in prepped])
-        Yb = jnp.asarray(np.stack([j[2] for j in jobs]), self.dtype)
-        Rb = jnp.asarray(np.stack([j[3] for j in jobs]), self.dtype)
-        bucket = self._bucket_for(
-            max(int(np.sum(j[3] > 0.99)) for j in jobs), Yb.shape[1])
-        prog = self._refit_prog_batched(update_params=update_params,
-                                        bucket=bucket)
-        res = prog(Yb, Rb, states)
-        qs, qls, snrs = jax.device_get((res.q, res.q_lat, res.snr))
-        # use_snr=False: the reference's compute_snr returns ones
-        # (GPI_HDP.py:748-750); the refit's computed SNR must not leak
-        # into the fusion weights
-        if not self.cfg.use_snr:
-            snrs = np.ones_like(snrs)
-        out = []
-        for i, (cl, ld, Y, rc) in enumerate(jobs):
-            st_i = jax.tree.map(lambda x: x[i], res.state)
-            members = np.flatnonzero(rc > 0.99)
-            out.append((qs[i], qls[i], snrs[i],
-                        Cluster(st_i, prepped[i].fitted, members,
-                                state_key=prepped[i].state_key)))
-        return out
+        groups: Dict[Optional[int], list] = {}
+        for idx, (cl, ld, Y, rc) in enumerate(jobs):
+            b = self._bucket_for(int(np.sum(rc > 0.99)), N_all)
+            groups.setdefault(b, []).append(idx)
+        results: list = [None] * len(jobs)
+        pending = []
+        for bucket, idxs in groups.items():
+            for s_ in range(0, len(idxs), self._MAX_VMAP):
+                sub_idx = idxs[s_:s_ + self._MAX_VMAP]
+                sub = [jobs[i] for i in sub_idx]
+                B_real = len(sub)
+                B_pad = 1
+                while B_pad < B_real:
+                    B_pad *= 2
+                # dummy jobs: first job's data with an empty resp column
+                sub = sub + [(sub[0][0], sub[0][1], sub[0][2],
+                              np.zeros(N_all))] * (B_pad - B_real)
+                prepped = []
+                for cl, ld, Y, rc in sub:
+                    st = gplds.reinit_cluster_state(
+                        cl.state, float(self.cfg.gp.free_deg_mniw))
+                    c2 = Cluster(st, cl.fitted, cl.members,
+                                 state_key=cl.state_key)
+                    c2 = self._maybe_kernel_fit(c2, ld, Y, rc)
+                    prepped.append(c2)
+                states = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                      *[c.state for c in prepped])
+                Yb = jnp.stack([self._dev_Y(j[2]) for j in sub])
+                Rb = jnp.asarray(np.stack([j[3] for j in sub]),
+                                 self.dtype)
+                prog = self._refit_prog_batched(
+                    update_params=update_params, bucket=bucket)
+                res = prog(Yb, Rb, states)
+                pending.append((sub_idx, prepped, res))
+        fetched = jax.device_get([(p[2].q, p[2].q_lat, p[2].snr, p[2].lds)
+                                  for p in pending])
+        for (idxs, prepped, res), (qs, qls, snrs, ldss) in zip(pending,
+                                                               fetched):
+            # use_snr=False: the reference's compute_snr returns ones
+            # (GPI_HDP.py:748-750); the refit's computed SNR must not
+            # leak into the fusion weights
+            if not self.cfg.use_snr:
+                snrs = np.ones_like(snrs)
+            for j, i in enumerate(idxs):
+                cl, ld, Y, rc = jobs[i]
+                st_i = jax.tree.map(lambda x: x[j], res.state)
+                members = np.flatnonzero(rc > 0.99)
+                cl_out = Cluster(st_i, prepped[j].fitted, members,
+                                 state_key=prepped[j].state_key)
+                cl_out.lds_elbo = float(ldss[j])
+                results[i] = (qs[j], qls[j], snrs[j], cl_out)
+        return results
 
     # ------------------------------------------------------------------
     # SNR fusion (GPI_HDP.py:663-756)
@@ -812,9 +846,9 @@ class HDPGPC:
             x_w = np.broadcast_to(x_trains[..., None, None], (N, T, L, M))
             return y_w, x_w, np.zeros((N, M, L))
 
-        if self._warp_fn is None:
+        if self._warp_fn_batch is None:
             w = self.cfg.warp
-            self._warp_fn = build_batch_warp(
+            self._warp_fn_batch = build_batch_warp(
                 T, n_ctrl=w.n_ctrl, lr=w.lr, lam_s_base=w.lambda_smooth,
                 lam_a_base=w.lambda_amp, train_iter=w.train_iter_batch)
         w = self.cfg.warp
@@ -828,8 +862,9 @@ class HDPGPC:
         x_w = np.empty((N, T, L, M))
         liks = np.zeros((N, M, L))
         x0 = jnp.asarray(self.x_basis)
-        theta_rho = jnp.asarray(self._def_lengthscale)
-        noise = jnp.asarray(np.sqrt(self._def_sigma))
+        # batch-path noise: mean(diag Sigma) clamped into
+        # bound_noise_warp (amtgp:611-617 via GPI_HDP.py:3383-3384)
+        lo, hi = w.bound_noise_warp
         for ld in range(L):
             for m in range(M):
                 ref = int(f_ind_old[min(m, f_ind_old.shape[0] - 1)])
@@ -837,10 +872,15 @@ class HDPGPC:
                 if key in self._warp_cache:
                     xw, yw, lk = self._warp_cache[key]
                 else:
+                    cl = self.clusters[ld][min(m, len(self.clusters[ld]) - 1)]
+                    n = float(np.clip(
+                        float(np.mean(np.diag(np.asarray(cl.state.Sigma)))),
+                        lo, hi))
                     y_model = jnp.asarray(y_trains[ref, :, ld])
-                    res = self._warp_fn(x0, jnp.asarray(y_trains[:, :, ld]),
-                                        y_model, prior, theta_rho,
-                                        jnp.asarray(1.0), noise)
+                    res = self._warp_fn_batch(
+                        x0, jnp.asarray(y_trains[:, :, ld]),
+                        y_model, prior, jnp.asarray(1.0),
+                        jnp.asarray(1.0), jnp.asarray(n))
                     base = np.asarray(warp_prior_score(prior, res.x_warp))
                     xw = np.asarray(res.x_warp)
                     yw = np.asarray(res.y_warp)
@@ -1047,31 +1087,7 @@ class HDPGPC:
         N, T, L = y.shape
         assert T == self.Tb and L == self.n_outputs
         if self.dtype == jnp.float32:
-            # float32 speed mode: raw MIT-BIH amplitudes reach ~1e3,
-            # and squared residuals at ~1e6 exhaust f32 mantissa in the
-            # Cholesky chains — on large-amplitude records every birth
-            # gets rejected (rec 119: M=1/err 23% unscaled vs M=9/err 0
-            # normalised). Normalise internally and rescale the
-            # variance-like priors by s^2; scores shift by a constant
-            # per beat, which cancels in every accept/reject
-            # comparison at fixed cluster count.
-            s = float(np.std(y))
-            if s > 8.0 or s < 0.125:
-                print(f"float32 speed mode: normalising amplitudes "
-                      f"(scale {s:.4g}).")
-                self._y_scale = s
-                y = y / s
-                sc = s * s
-                self._def_sigma /= sc
-                self._def_gamma /= sc
-                self._def_outputscale /= sc
-                self._def_bound_sigma = tuple(
-                    b / sc for b in self._def_bound_sigma)
-                self._def_bound_gamma = tuple(
-                    b / sc for b in self._def_bound_gamma)
-                for ld_ in range(self.n_outputs):
-                    for m_ in range(len(self.clusters[ld_])):
-                        self.clusters[ld_][m_] = self._new_cluster()
+            y = self._maybe_normalise_f32(y)
         self._refit_memo.clear()
         self._memo_stats = [0, 0]
         h = self.cfg.hdp
@@ -1155,6 +1171,37 @@ class HDPGPC:
             else:
                 break
         return self
+
+    def _maybe_normalise_f32(self, y: np.ndarray) -> np.ndarray:
+        """float32 speed mode: raw MIT-BIH amplitudes reach ~1e3, and
+        squared residuals at ~1e6 exhaust f32 mantissa in the Cholesky
+        chains — on large-amplitude records every birth gets rejected
+        (rec 119: M=1/err 23% unscaled vs M=9/err 0 normalised).
+        Normalise internally and rescale the variance-like priors by
+        s^2; scores shift by a constant per beat, which cancels in
+        every accept/reject comparison at fixed cluster count. Used by
+        both the offline sweep and the online streaming engine."""
+        if self._y_scale != 1.0:
+            return y / self._y_scale
+        s = float(np.std(y))
+        if not (s > 8.0 or s < 0.125):
+            return y
+        print(f"float32 speed mode: normalising amplitudes "
+              f"(scale {s:.4g}).")
+        self._y_scale = s
+        y = y / s
+        sc = s * s
+        self._def_sigma /= sc
+        self._def_gamma /= sc
+        self._def_outputscale /= sc
+        self._def_bound_sigma = tuple(
+            b / sc for b in self._def_bound_sigma)
+        self._def_bound_gamma = tuple(
+            b / sc for b in self._def_bound_gamma)
+        for ld_ in range(self.n_outputs):
+            for m_ in range(len(self.clusters[ld_])):
+                self.clusters[ld_][m_] = self._new_cluster()
+        return y
 
     def _redefine_default(self, y: np.ndarray) -> None:
         """Re-estimate Sigma/Gamma priors from the batch and rebuild
@@ -1350,7 +1397,7 @@ class HDPGPC:
         resp_seed = np.zeros(Y.shape[0]); resp_seed[seed] = 1.0
         prog = self._refit_prog(update_params=False,
                                 bucket=self._bucket_for(1, Y.shape[0]))
-        res = prog(jnp.asarray(Y, self.dtype),
+        res = prog(self._dev_Y(Y),
                    jnp.asarray(resp_seed, self.dtype), cl2.state)
         out = jax.device_get((res.q, res.snr))
         self._memo_put(key, out)
@@ -1400,7 +1447,8 @@ class HDPGPC:
                     cl = self.clusters[ld][m]
                     st = gplds.reinit_cluster_state(
                         cl.state, float(self.cfg.gp.free_deg_mniw))
-                    seed_jobs.append((Cluster(st, cl.fitted, cl.members),
+                    seed_jobs.append((Cluster(st, cl.fitted, cl.members,
+                                              state_key=cl.state_key),
                                       ld, y_w[:, :, ld, m], rc))
                     seed_slots.append((ld, m))
         for (ld, m), (qs, _ql, _snr, _cl) in zip(
@@ -2015,13 +2063,20 @@ class HDPGPC:
             self._y_all = np.concatenate([self._y_all, y[None]], axis=0)
 
         # ---- warp each lead against every cluster (online strategies) --
+        # The gate is the ``with_warp`` ARGUMENT alone (reference
+        # include_sample, GPI_HDP.py:1941-1951): unlike the batch path
+        # there is no self.warp state check — a purely-online run warps
+        # from its second beat.
         liks = np.zeros(M + 1)
         y_mod = np.broadcast_to(y[:, :, None], (self.Tb, L, M + 1)).copy()
-        if with_warp and t > 0 and self.warp:
+        if with_warp and t > 0:
             for ld in range(L):
                 y_w_ld, x_w_ld, liks = self._compute_warp_y_online(
                     y[:, ld], ld, force_model)
                 y_mod[:, ld, :M] = y_w_ld
+                # birth candidate is scored on y warped to the LAST
+                # model (reference y_mod[-1][-1], GPI_HDP.py:2002)
+                y_mod[:, ld, M] = y_w_ld[:, M - 1]
 
         # ---- q over history + new row ----
         Tn = t + 1
@@ -2072,7 +2127,7 @@ class HDPGPC:
                 cl = self.clusters[ld][m_template]
                 st = gplds.reinit_cluster_state(
                     cl.state, float(self.cfg.gp.free_deg_mniw))
-                pc = Cluster(st, cl.fitted)
+                pc = Cluster(st, cl.fitted, state_key=cl.state_key)
                 q_prev[-1, -1, ld] = float(gplds.estimate_new(
                     pc.state, jnp.asarray(y_mod[:, ld, -1]))) + liks[-1]
                 pc = self._birth_include(pc, ld, y_mod[:, ld, -1], t)
@@ -2395,11 +2450,14 @@ class HDPGPC:
         # ---- warp (same strategies as include_sample) ----
         liks = np.zeros(M + 1)
         y_mod = np.broadcast_to(y[:, :, None], (self.Tb, L, M + 1)).copy()
-        if with_warp and t > 0 and self.warp:
+        if with_warp and t > 0:
             for ld in range(L):
                 y_w_ld, x_w_ld, liks = self._compute_warp_y_online(
                     y[:, ld], ld, force_model)
                 y_mod[:, ld, :M] = y_w_ld
+                # birth candidate is scored on y warped to the LAST
+                # model (reference y_mod[-1][-1], GPI_HDP.py:2002)
+                y_mod[:, ld, M] = y_w_ld[:, M - 1]
 
         # ---- q over history (cached) + new row (scored) ----
         Tn = t + 1
@@ -2611,25 +2669,37 @@ class HDPGPC:
 
     def _warp_one(self, y_ld, ld, m, prior):
         """Warp one beat against cluster m; returns (y_w, x_w, lik)
-        (compute_warp inner call, GPI_HDP.py:3215-3224)."""
+        (compute_warp inner call, GPI_HDP.py:3215-3224).
+
+        Reference semantics pinned here:
+        * the data-term noise is diag(cov)[0] CLAMPED into
+          bound_noise_warp (_safe_noise, amtgp:44-57) — the clamp is
+          what makes the alignment strong (the posterior diag is far
+          above the tiny warp-noise bounds);
+        * theta passed upstream is a scalar lengthscale, so the
+          theta->lambda mapping never fires (amtgp:380 isinstance
+          tuple/list fails) — base lambdas apply (rho=omega=1);
+        * liks[m] = MAP data log-lik of the warped beat under the
+          template + GP-prior score of the warp (GPI_HDP.py:3300)."""
         cl = self.clusters[ld][m]
         x0 = jnp.asarray(self.x_basis)
         mean = np.asarray((cl.state.C @ cl.state.f_last)[:, 0])
-        noise = np.asarray(np.diag(np.asarray(cl.state.Sigma)))
-        res = self._warp_fn(x0, jnp.asarray(y_ld[None, :]),
-                            jnp.asarray(mean), prior,
-                            jnp.asarray(self._def_lengthscale),
-                            jnp.asarray(1.0), jnp.asarray(noise))
+        lo, hi = self.cfg.warp.bound_noise_warp
+        n = float(np.clip(float(np.asarray(cl.state.Sigma)[0, 0]), lo, hi))
+        res = self._warp_fn_online(x0, jnp.asarray(y_ld[None, :]),
+                                   jnp.asarray(mean), prior,
+                                   jnp.asarray(1.0), jnp.asarray(1.0),
+                                   jnp.asarray(n))
         basis_lik = float(warp_prior_score(prior, res.x_warp)[0])
         return (np.asarray(res.y_warp[0]), np.asarray(res.x_warp[0]),
-                float(res.lik[0]) + basis_lik)
+                float(res.lik_data[0]) + basis_lik)
 
     def _warp_setup(self):
         from hdpgpc_tpu.warp.monotone import make_warp_prior
         T = self.Tb
         w = self.cfg.warp
-        if self._warp_fn is None:
-            self._warp_fn = build_batch_warp(
+        if self._warp_fn_online is None:
+            self._warp_fn_online = build_batch_warp(
                 T, n_ctrl=w.n_ctrl, lr=w.lr, lam_s_base=w.lambda_smooth,
                 lam_a_base=w.lambda_amp, train_iter=w.train_iter_online)
         prior = self._warp_priors.get(T)
@@ -2656,7 +2726,25 @@ class HDPGPC:
         prior = self._warp_setup()
         base = float(warp_prior_score(
             prior, jnp.zeros((1, T), jnp.float64))[0])
-        liks = np.full(M + 1, base)
+        # Reference-exact alias semantics (GPI_HDP.py:3177-3181): the
+        # reference's liks vector has ONE entry per model (length M) and
+        # the BIRTH candidate reads liks[-1] — i.e. the birth bonus
+        # ALIASES the last model's entry, including the final
+        # ``liks[-1] += max(liks[:-1])`` increment that entry receives
+        # (so the last model's absorb score carries it too). We compute
+        # the reference-shaped vector then return length M+1 with the
+        # birth slot duplicated from entry M-1. At M == 1 the max runs
+        # over an empty slice — the reference crashes there; the
+        # documented shim semantics (refstubs patch_warp_empty_max) is
+        # the additive identity 0.
+        liks = np.full(M, base)
+
+        def _empty_max(a):
+            return a.max() if a.size else 0.0
+
+        def _done():
+            return y_w, x_w, np.concatenate([liks, liks[-1:]])
+
         y_w = np.tile(y_ld[:, None], (1, M))
         x_w = np.zeros((T, M))
 
@@ -2666,9 +2754,9 @@ class HDPGPC:
                 y_w[:, m], x_w[:, m], liks[m] = self._warp_one(
                     y_ld, ld, m, prior)
             else:
-                liks[m] += liks[:-1].max()
-            liks[-1] += liks[:-1].max()
-            return y_w, x_w, liks
+                liks[m] += _empty_max(liks[:-1])
+            liks[-1] += _empty_max(liks[:-1])
+            return _done()
 
         if method == "standard":
             for m in range(M):
@@ -2676,9 +2764,9 @@ class HDPGPC:
                     y_w[:, m], x_w[:, m], liks[m] = self._warp_one(
                         y_ld, ld, m, prior)
                 else:
-                    liks[m] += liks[:-1].max()
-            liks[-1] += liks[:-1].max()
-            return y_w, x_w, liks
+                    liks[m] += _empty_max(liks[:-1])
+            liks[-1] += _empty_max(liks[:-1])
+            return _done()
 
         # greedy / greedy_bound: rank clusters by estimate_new scores
         q_C = np.array([float(gplds.estimate_new(self.clusters[ld][g].state,
@@ -2696,8 +2784,8 @@ class HDPGPC:
                     liks[m] += liks[order[:i + 1]].max()
                 if i >= 3:
                     break
-            liks[-1] += liks[:-1].max()
-            return y_w, x_w, liks
+            liks[-1] += _empty_max(liks[:-1])
+            return _done()
 
         if method != "greedy":
             raise ValueError(f"unknown warp strategy {method!r} "
@@ -2706,7 +2794,7 @@ class HDPGPC:
             m = int(m)
             cl = self.clusters[ld][m]
             if cl.members.size == 0:
-                liks[m] += liks[:-1].max()
+                liks[m] += _empty_max(liks[:-1])
                 continue
             y_w[:, m], x_w[:, m], liks[m] = self._warp_one(y_ld, ld, m,
                                                            prior)
@@ -2719,14 +2807,14 @@ class HDPGPC:
                                  or i == 5):
                     for j_ in order[i + 1:]:
                         liks[int(j_)] += liks[order[:i + 1]].max()
-                    liks[-1] += liks[:-1].max()
+                    liks[-1] += _empty_max(liks[:-1])
                     break
             else:
                 for j_ in order[i + 1:]:
                     liks[int(j_)] += liks[order[:i + 1]].max()
-                liks[-1] += liks[:-1].max()
+                liks[-1] += _empty_max(liks[:-1])
                 break
-        return y_w, x_w, liks
+        return _done()
 
     def compute_warp_actual_state(self, x_trains, y_trains, q=None,
                                   q_lat=None):
@@ -2754,15 +2842,17 @@ class HDPGPC:
                 if idx.size == 0:
                     continue
                 mean = np.asarray((cl.state.C @ cl.state.f_last)[:, 0])
-                noise = np.asarray(np.diag(np.asarray(cl.state.Sigma)))
-                res = self._warp_fn(x0, jnp.asarray(y[idx, :, ld]),
-                                    jnp.asarray(mean), prior,
-                                    jnp.asarray(self._def_lengthscale),
-                                    jnp.asarray(1.0), jnp.asarray(noise))
+                lo, hi = self.cfg.warp.bound_noise_warp
+                n = float(np.clip(float(np.asarray(cl.state.Sigma)[0, 0]),
+                                  lo, hi))
+                res = self._warp_fn_online(x0, jnp.asarray(y[idx, :, ld]),
+                                           jnp.asarray(mean), prior,
+                                           jnp.asarray(1.0),
+                                           jnp.asarray(1.0), jnp.asarray(n))
                 base = np.asarray(warp_prior_score(prior, res.x_warp))
                 y_w_out[idx, :, ld] = np.asarray(res.y_warp)
                 self.x_w[idx, :, ld] = np.asarray(res.x_warp)
-                self.liks_w[idx, ld] = np.asarray(res.lik) + base
+                self.liks_w[idx, ld] = np.asarray(res.lik_data) + base
             if q is not None:
                 for m, cl in enumerate(self.clusters[ld]):
                     rc = np.zeros(N)

@@ -30,6 +30,7 @@ from hdpgpc_tpu.ops.linalg import precise_jit
 import numpy as np
 
 from hdpgpc_tpu.ops import linalg
+from hdpgpc_tpu.ops.kalman import parallel_filter_masked
 from hdpgpc_tpu.ops.kernels import KernelParams, gram
 
 
@@ -112,24 +113,15 @@ def build_stream_step(T: int, K: int):
         onehot = jax.nn.one_hot(labels, K, dtype=dtype) * mask[:, None]
 
         def update_cluster(k, f_k, P_k):
+            # gated associative-scan filter (ops/kalman): O(log B)
+            # depth of batched matmul rounds instead of a B-length
+            # sequential scan; beats with w=0 contribute identity
+            # elements (no prediction, no update).
             w = onehot[:, k]
-
-            def kstep(carry, inp):
-                f, P = carry
-                y, h = inp
-                m = state.A[k] @ f
-                Pp = state.A[k] @ P @ state.A[k].T + state.Gamma[k]
-                S = state.C[k] @ Pp @ state.C[k].T + state.Sigma[k]
-                Kg = linalg.solve_spd_t(S, Pp @ state.C[k].T)
-                f2 = m + Kg @ (y[:, None] - state.C[k] @ m)
-                IKC = jnp.eye(T, dtype=dtype) - Kg @ state.C[k]
-                P2 = IKC @ Pp @ IKC.T + Kg @ state.Sigma[k] @ Kg.T
-                f2 = jnp.where(h > 0.5, f2, f)
-                P2 = jnp.where(h > 0.5, P2, P)
-                return (f2, P2), None
-
-            (f2, P2), _ = jax.lax.scan(kstep, (f_k, P_k), (Y, w))
-            return f2, P2
+            fs, Ps = parallel_filter_masked(
+                Y[:, :, None], w, state.A[k], state.Gamma[k],
+                state.C[k], state.Sigma[k], f_k, P_k)
+            return fs[-1], Ps[-1]
 
         f_new, P_new = jax.vmap(update_cluster, in_axes=(0, 0, 0))(
             jnp.arange(K), state.f, state.P)

@@ -223,19 +223,3 @@ def entropy_terms(resp, respPair, eps=1e-30):
     sigma = respPair / (jnp.sum(respPair, axis=2, keepdims=True) + eps) + eps
     Htable = -jnp.sum(respPair * jnp.log(sigma), axis=0)
     return jnp.sum(Htable) + jnp.sum(Hstart)
-
-
-def baum_welch(alpha, beta, trans_log_pi, log_q, eps=1e-300):
-    """Classical ML re-estimation of (pi, A) from messages — the
-    reference's legacy non-HDP path (GPI_HDP.baum_welch,
-    GPI_HDP.py:3864-3931). Returns (log_pi, log_A)."""
-    alpha = jnp.asarray(alpha)
-    beta = jnp.asarray(beta)
-    gamma = alpha * beta
-    gamma = gamma / jnp.maximum(jnp.sum(gamma, axis=1, keepdims=True), eps)
-    log_pi = jnp.log(jnp.maximum(gamma[0], eps))
-    lrp = coupled_pair_log(alpha, beta, trans_log_pi, log_q)
-    xi = jnp.exp(lrp)
-    num = jnp.sum(xi[1:], axis=0)                 # (K, K)
-    den = jnp.maximum(jnp.sum(num, axis=1, keepdims=True), eps)
-    return log_pi, jnp.log(jnp.maximum(num / den, eps))

@@ -59,27 +59,6 @@ def kalman_step(f, P, y, params: LDSParams, first: bool | jax.Array,
     return f_post, P_post
 
 
-def kalman_step_projected(f, P, y, params: LDSParams, K_cov, y_pred, R):
-    """Filter update with a GP projection matrix K_cov = K(x*,X)K(X,X)^-1.
-
-    Used on the warped-grid path (GPI.py:124-151 general case), where
-    the predicted observation ``y_pred`` and its covariance ``R``
-    (cov_f from pred_dist) are supplied by the caller.
-    """
-    A, Gamma, C, _ = params
-    T = f.shape[0]
-    eye = jnp.eye(T, dtype=f.dtype)
-    m = A @ f
-    P_pred = A @ P @ A.T + Gamma
-    H = K_cov @ C
-    S = H @ P_pred @ H.T + R
-    K = linalg.solve_spd_t(S, P_pred @ H.T)
-    f_post = m + K @ (y - y_pred)
-    IKH = eye - K @ H
-    P_post = IKH @ P_pred @ IKH.T + K @ R @ K.T
-    return f_post, P_post
-
-
 def rts_pair(f_prev, P_prev, f_cur, P_cur, A, Gamma):
     """One RTS smoothing step: condition (f_prev, P_prev) on (f_cur, P_cur).
 
@@ -192,6 +171,47 @@ def parallel_filter(ys, F, Q, H, R, m0, P0):
         lambda f0, r: jnp.concatenate([f0[None], r], axis=0), first, rest)
     A, b, C, eta, J = jax.lax.associative_scan(_combine, elems)
     return b, C
+
+
+def parallel_filter_masked(ys, h, F, Q, H, R, m0, P0):
+    """Associative-scan Kalman filter with a per-step update mask.
+
+    ys: (N, T, 1); h: (N,) in {0, 1}. A step with h=0 contributes the
+    IDENTITY element — the state neither predicts nor updates (the
+    gated-update semantics of the streaming classifier's per-cluster
+    posterior, models/streaming.py). h=1 steps are standard filter
+    updates with fixed (F, Q, H, R). The prior (m0, P0) enters as a
+    constant leading element, so the returned sequences are the exact
+    gated filtered states; element [-1] is the chunk carry.
+
+    Exactness: identity and filter steps are both affine-Gaussian maps,
+    so the (A, b, C, eta, J) composition stays associative; equality
+    with the sequential gated scan is property-tested in
+    tests/test_kalman.py.
+    """
+    N, T = ys.shape[0], ys.shape[1]
+    dtype = ys.dtype
+
+    def masked_element(y, hk):
+        A, b, C, eta, J = _filter_element(y, F, Q, H, R)
+        keep = hk > 0.5
+        eye = jnp.eye(T, dtype=dtype)
+        A = jnp.where(keep, A, eye)
+        b = jnp.where(keep, b, jnp.zeros((T, 1), dtype))
+        C = jnp.where(keep, C, jnp.zeros((T, T), dtype))
+        eta = jnp.where(keep, eta, jnp.zeros((T, 1), dtype))
+        J = jnp.where(keep, J, jnp.zeros((T, T), dtype))
+        return A, b, C, eta, J
+
+    elems = jax.vmap(masked_element)(ys, h)
+    # constant leading element mapping anything to the prior
+    prior = (jnp.zeros((T, T), dtype), m0, P0,
+             jnp.zeros((T, 1), dtype), jnp.zeros((T, T), dtype))
+    elems = jax.tree.map(
+        lambda p, e: jnp.concatenate([p[None], e], axis=0), prior, elems)
+    A, b, C, eta, J = jax.lax.associative_scan(_combine, elems)
+    # drop the prior slot: position i is the state after step i
+    return b[1:], C[1:]
 
 
 def parallel_smooth(F, Q, means, covs):

@@ -52,3 +52,33 @@ def classification_error(model, labels: Sequence, n0: int = 0
     """(errors, total) without printing."""
     _, err = print_results(model, labels, n0, error=True, quiet=True)
     return err, model.T_count
+
+
+def adjusted_rand_index(a: Sequence, b: Sequence) -> float:
+    """Adjusted Rand index between two hard partitions (label values
+    arbitrary). Used to quantify partition agreement where exact
+    member-set parity is not the contract (f32-vs-f64 speed-mode
+    validation, warp-path divergence bounds)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    assert a.shape == b.shape
+    n = a.shape[0]
+    if n == 0:
+        return 1.0
+    _, ai = np.unique(a, return_inverse=True)
+    _, bi = np.unique(b, return_inverse=True)
+    cont = np.zeros((ai.max() + 1, bi.max() + 1), np.int64)
+    np.add.at(cont, (ai, bi), 1)
+
+    def comb2(x):
+        return x * (x - 1) / 2.0
+
+    sum_ij = comb2(cont).sum()
+    sum_a = comb2(cont.sum(axis=1)).sum()
+    sum_b = comb2(cont.sum(axis=0)).sum()
+    total = comb2(np.asarray(n))
+    expected = sum_a * sum_b / total if total > 0 else 0.0
+    max_idx = 0.5 * (sum_a + sum_b)
+    if max_idx == expected:
+        return 1.0
+    return float((sum_ij - expected) / (max_idx - expected))

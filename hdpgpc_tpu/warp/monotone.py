@@ -32,9 +32,12 @@ import optax
 
 
 class WarpResult(NamedTuple):
-    x_warp: jax.Array   # (B, T) warp offsets g - x
-    y_warp: jax.Array   # (B, T) warped target signals
-    lik: jax.Array      # (B,) GP-prior log density of the warps
+    x_warp: jax.Array    # (B, T) warp offsets g - x
+    y_warp: jax.Array    # (B, T) warped target signals
+    lik: jax.Array       # (B,) GP-prior log density of the warps
+    lik_data: jax.Array  # (B,) MAP data log-lik of warped y under the
+    #                      template: -0.5(sse/n + T log 2πn) - penalties
+    #                      (compute_warp's lik_warp, amtgp:495-507)
 
 
 class WarpPrior(NamedTuple):
@@ -127,11 +130,16 @@ def build_batch_warp(T: int, n_ctrl: int = 8, lr: float = 5e-2,
     @functools.partial(precise_jit, static_argnames=())
     def warp(x, Y_target, y_model, prior: WarpPrior, theta_rho, theta_omega,
              noise):
+        # ``noise`` is the already-reduced-and-clamped scalar n: the
+        # reference reduces diag(cov) -> scalar BEFORE the optimiser
+        # (noise[0] online via _safe_noise amtgp:44-57; mean() batch via
+        # amtgp:611-617), both clamped into bound_noise_warp — callers
+        # replicate that reduction.
         B = Y_target.shape[0]
         dtype = Y_target.dtype
         lam_s, lam_a = _theta_to_lambdas(theta_rho, theta_omega,
                                          lam_s_base, lam_a_base)
-        n = jnp.maximum(jnp.mean(noise), 1e-12)
+        n = jnp.maximum(jnp.asarray(noise, dtype).reshape(()), 1e-12)
 
         def loss_fn(u_ctrl):
             g, xw = monotone_grid(u_ctrl, x)
@@ -158,6 +166,16 @@ def build_batch_warp(T: int, n_ctrl: int = 8, lr: float = 5e-2,
         g, xw = monotone_grid(u_fin, x)
         Yw = _interp_signal(x, Y_target, g)
         lik = warp_prior_score(prior, xw)
-        return WarpResult(x_warp=xw, y_warp=Yw, lik=lik)
+        # MAP data log-lik of the final warp (amtgp:495-507, bayesian
+        # branch: penalties enter as log-priors)
+        resid = Yw - y_model[None, :]
+        sse = jnp.sum(resid * resid, axis=1)
+        T_eff = Yw.shape[1]
+        ll = -0.5 * (sse / (n + 1e-12)
+                     + T_eff * jnp.log(2.0 * math.pi * (n + 1e-12)))
+        d2 = xw[:, :-2] - 2.0 * xw[:, 1:-1] + xw[:, 2:]
+        ll = ll - (lam_s * jnp.sum(d2 * d2, axis=1)
+                   + lam_a * jnp.sum(xw * xw, axis=1))
+        return WarpResult(x_warp=xw, y_warp=Yw, lik=lik, lik_data=ll)
 
     return warp

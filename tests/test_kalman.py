@@ -131,3 +131,35 @@ def test_parallel_smooth_matches_sequential():
                                rtol=1e-7, atol=1e-8)
     np.testing.assert_allclose(np.asarray(P_par), np.asarray(P_seq),
                                rtol=1e-7, atol=1e-8)
+
+
+def test_parallel_filter_masked_matches_gated_sequential():
+    """parallel_filter_masked == the gated sequential filter (h=0 steps
+    are identities: no prediction, no update) — the per-cluster update
+    semantics of models/streaming.build_stream_step."""
+    from hdpgpc_tpu.ops.kalman import parallel_filter_masked
+
+    T, N = 5, 17
+    A, G, C, S = _sys(T, 7)
+    rng = np.random.default_rng(11)
+    ys = rng.standard_normal((N, T, 1))
+    h = (rng.random(N) > 0.4).astype(np.float64)
+    h[0] = 0.0  # leading masked step must hold the prior
+    m0 = rng.standard_normal((T, 1))
+    P0 = np.eye(T) * 0.5
+
+    f, P = m0.copy(), P0.copy()
+    seq_f, seq_P = [], []
+    for t in range(N):
+        if h[t] > 0.5:
+            f, P = _np_kalman(f, P, ys[t], A, G, C, S)
+        seq_f.append(f.copy())
+        seq_P.append(P.copy())
+
+    fs, Ps = parallel_filter_masked(
+        jnp.asarray(ys), jnp.asarray(h), *map(jnp.asarray, (A, G, C, S)),
+        jnp.asarray(m0), jnp.asarray(P0))
+    np.testing.assert_allclose(np.asarray(fs), np.stack(seq_f),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Ps), np.stack(seq_P),
+                               rtol=1e-8, atol=1e-9)

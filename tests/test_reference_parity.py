@@ -191,6 +191,219 @@ def test_online_parity_rec100_slice():
 
 
 @pytest.mark.slow
+def test_online_fast_parity_rec100_130beats():
+    """include_sample_fast parity vs the reference's OWN
+    include_sample_fast (GPI_HDP.py:2312-2629) over 130 rec-100 beats
+    (VERDICT r2 item 2): identical cluster count and identical
+    partitions at every beat, including every birth/absorb decision on
+    real data (the previous gate was a synthetic never-birth stream)."""
+    import torch
+    data = np.load(os.path.join(REF, "data/mitbih/100.npy"))[:, :, [0]]
+    n = 130
+    data = data[:n]
+    from hdpgpc_tpu.data.priors import compute_estimators_lds
+    std, std_dif, bs, bg = compute_estimators_lds(data)
+    N, T, L = data.shape
+
+    hdpgp = _install_ref()
+    x_basis = np.atleast_2d(np.arange(0, T, 1, dtype=np.float64)).T
+    x_train = np.atleast_2d(np.arange(0, T, dtype=np.float64)).T
+    nw = std * 0.1
+    sw = hdpgp.GPI_HDP(
+        x_basis, x_basis_warp=np.atleast_2d(
+            np.arange(0, T, 2, dtype=np.float64)).T,
+        n_outputs=L, ini_lengthscale=3.0, bound_lengthscale=(1.0, 20.0),
+        ini_gamma=std_dif, ini_sigma=std, ini_outputscale=300.0,
+        noise_warp=nw, bound_sigma=bs, bound_gamma=bg,
+        bound_noise_warp=(nw * 0.1, nw * 0.2), verbose=False,
+        hmm_switch=True, max_models=100, bayesian_params=True,
+        inducing_points=False, estimation_limit=None, free_deg_MNIV=5)
+    ref_hist = []
+    for i in range(N):
+        sw.include_sample_fast(torch.from_numpy(x_train),
+                               torch.from_numpy(data[i]), with_warp=False)
+        ref_hist.append(np.asarray(sw.resp_assigned[-1]).copy())
+
+    from hdpgpc_tpu.data.loader import default_x_basis
+    from hdpgpc_tpu.models.hdpgpc import HDPGPC
+    m = HDPGPC(default_x_basis(T), n_outputs=L, ini_lengthscale=3.0,
+               bound_lengthscale=(1.0, 20.0), ini_gamma=std_dif,
+               ini_sigma=std, ini_outputscale=300.0, bound_sigma=bs,
+               bound_gamma=bg, verbose=False, hmm_switch=True,
+               max_models=100, bayesian_params=True,
+               estimation_limit=None, free_deg_MNIV=5)
+    x = np.arange(T, dtype=np.float64)
+    our_hist = []
+    for i in range(N):
+        m.include_sample_fast(x, data[i], with_warp=False)
+        our_hist.append(np.asarray(m.resp_assigned[-1]).copy())
+    assert m.M == sw.M, f"cluster count {m.M} vs ref {sw.M}"
+    for i, (a, b) in enumerate(zip(our_hist, ref_hist)):
+        assert _same_partition(a, b), (
+            f"partition diverges at beat {i}: ref {b.tolist()} "
+            f"vs ours {a.tolist()}")
+
+
+@pytest.mark.slow
+def test_warp_parity_rec100_slice():
+    """Warp-enabled online parity (BASELINE config 3's subsystem;
+    reference tests/test_online_warp.py:68-91 config: warp_updating=
+    True, method='greedy', mode_warp='rough', estimation_limit=100,
+    free_deg_MNIV=20, n_f=20 estimators) on the reference's own tested
+    record (rec 100 — its warp test's default argv).
+
+    The reference's shipped warp path CANNOT run unpatched: beat 2 of
+    every online warp run raises RuntimeError in compute_warp_y
+    (GPI_HDP.py:3313 reduces an empty tensor whenever M == 1); the
+    refstubs patch_warp_empty_max shim (additive-identity semantics,
+    decision-neutral at M == 1) makes it runnable. Rec 102 is worse —
+    see test_warp_rec102_reference_crashes_ours_runs.
+
+    The reference's AMTGP warp (amtgp_warping_system.py:401-548) runs
+    torch Adam to convergence per (beat, model) pair; ours runs a
+    fixed-iteration batched optax Adam (warp/monotone.py) — the warp
+    FUNCTIONS are therefore numerically close but not bit-equal, so the
+    asserted contract is partition-level: identical final cluster count
+    and partition agreement (ARI) >= 0.95 over the slice, with any
+    residual disagreements counted and bounded (<= 3 beats)."""
+    import torch
+    data = np.load(os.path.join(REF, "data/mitbih/100.npy"))[:, :, [0]]
+    n = 60
+    data = data[:n]
+    from hdpgpc_tpu.data.priors import compute_estimators_lds
+    std, std_dif, bs, bg = compute_estimators_lds(data, 20)
+    N, T, L = data.shape
+
+    hdpgp = _install_ref()
+    from refstubs.install import patch_warp_empty_max
+    patch_warp_empty_max()
+    x_basis = np.atleast_2d(np.arange(0, T, 1, dtype=np.float64)).T
+    x_train = np.atleast_2d(np.arange(0, T, dtype=np.float64)).T
+    nw = std * 0.1
+    sw = hdpgp.GPI_HDP(
+        x_basis, x_basis_warp=np.atleast_2d(
+            np.arange(0, T, 2, dtype=np.float64)).T,
+        n_outputs=L, ini_lengthscale=3.0, bound_lengthscale=(1.0, 20.0),
+        ini_gamma=std_dif, ini_sigma=std, ini_outputscale=300.0,
+        noise_warp=nw, bound_sigma=bs, bound_gamma=bg,
+        bound_noise_warp=(nw * 0.1, nw * 0.2),
+        warp_updating=True, method_compute_warp="greedy",
+        mode_warp="rough", verbose=False, hmm_switch=True,
+        max_models=100, bayesian_params=True, inducing_points=False,
+        estimation_limit=100, free_deg_MNIV=20)
+    for i in range(N):
+        sw.include_sample(torch.from_numpy(x_train),
+                          torch.from_numpy(data[i]), with_warp=True)
+    ref_part = np.asarray(sw.resp_assigned[-1]).copy()
+
+    from hdpgpc_tpu.data.loader import default_x_basis
+    from hdpgpc_tpu.models.hdpgpc import HDPGPC
+    m = HDPGPC(default_x_basis(T), n_outputs=L, ini_lengthscale=3.0,
+               bound_lengthscale=(1.0, 20.0), ini_gamma=std_dif,
+               ini_sigma=std, ini_outputscale=300.0, bound_sigma=bs,
+               bound_gamma=bg, noise_warp=nw,
+               bound_noise_warp=(nw * 0.1, nw * 0.2),
+               warp_updating=True, method_compute_warp="greedy",
+               mode_warp="rough", verbose=False, hmm_switch=True,
+               max_models=100, bayesian_params=True,
+               estimation_limit=100, free_deg_MNIV=20)
+    x = np.arange(T, dtype=np.float64)
+    for i in range(N):
+        m.include_sample(x, data[i], with_warp=True)
+    our_part = np.asarray(m.resp_assigned[-1]).copy()
+
+    assert m.M == sw.M, f"cluster count {m.M} vs ref {sw.M}"
+    if _same_partition(our_part, ref_part):
+        return
+    # quantify the divergence: contingency-table ARI + disagreement count
+    from hdpgpc_tpu.utils.eval import adjusted_rand_index
+    ari = adjusted_rand_index(our_part, ref_part)
+    # best-label-matching disagreement count
+    disagree = N
+    import itertools
+    ref_lab = sorted(set(ref_part.tolist()))
+    our_lab = sorted(set(our_part.tolist()))
+    if len(our_lab) <= 8:
+        for perm in itertools.permutations(ref_lab, len(our_lab)):
+            remap = {o: r for o, r in zip(our_lab, perm)}
+            d = int(np.sum(np.asarray([remap[v] for v in our_part])
+                           != ref_part))
+            disagree = min(disagree, d)
+    assert ari >= 0.95 and disagree <= 3, (
+        f"warp partition divergence: ARI={ari:.4f}, "
+        f"{disagree}/{N} beats differ (ref {ref_part.tolist()} "
+        f"vs ours {our_part.tolist()})")
+
+
+@pytest.mark.slow
+def test_warp_rec102_reference_crashes_ours_runs():
+    """BASELINE config 3 as literally stated — rec 102, both leads,
+    warp enabled — is a configuration the REFERENCE cannot execute:
+
+    * both-leads + warp crashes at beat 1 in full_LDS_elbo
+      (GPI_HDP.py:1852, IndexError: sum_resp indexed per-lead with a
+      single-lead resp), independent of the M==1 warp crash;
+    * single-lead rec 102 greedy warp crashes at beat 2
+      (GPI_HDP.py:3313, empty-tensor max — shimmed for rec 100 parity
+      in test_warp_parity_rec100_slice).
+
+    This test pins the first crash (so a fixed upstream would flag the
+    divergence) and asserts OUR framework runs the exact config 3 —
+    rec 102, 2 leads, warp on, estimation_limit=100 — to completion
+    with a sane clustering."""
+    import torch
+    data = np.load(os.path.join(REF, "data/mitbih/102.npy"))
+    n = 40
+    data = data[:n]
+    from hdpgpc_tpu.data.priors import compute_estimators_lds
+    std, std_dif, bs, bg = compute_estimators_lds(data, 20)
+    N, T, L = data.shape
+    assert L == 2
+
+    hdpgp = _install_ref()
+    x_basis = np.atleast_2d(np.arange(0, T, 1, dtype=np.float64)).T
+    x_train = np.atleast_2d(np.arange(0, T, dtype=np.float64)).T
+    nw = std * 0.1
+    sw = hdpgp.GPI_HDP(
+        x_basis, x_basis_warp=np.atleast_2d(
+            np.arange(0, T, 2, dtype=np.float64)).T,
+        n_outputs=L, ini_lengthscale=3.0, bound_lengthscale=(1.0, 20.0),
+        ini_gamma=std_dif, ini_sigma=std, ini_outputscale=300.0,
+        noise_warp=nw, bound_sigma=bs, bound_gamma=bg,
+        bound_noise_warp=(nw * 0.1, nw * 0.2),
+        warp_updating=True, method_compute_warp="greedy",
+        mode_warp="rough", verbose=False, hmm_switch=True,
+        max_models=100, bayesian_params=True, inducing_points=False,
+        estimation_limit=100, free_deg_MNIV=20)
+    with pytest.raises((IndexError, RuntimeError)):
+        for i in range(N):
+            sw.include_sample(torch.from_numpy(x_train),
+                              torch.from_numpy(data[i]), with_warp=True)
+
+    from hdpgpc_tpu.data.loader import default_x_basis
+    from hdpgpc_tpu.models.hdpgpc import HDPGPC
+    m = HDPGPC(default_x_basis(T), n_outputs=L, ini_lengthscale=3.0,
+               bound_lengthscale=(1.0, 20.0), ini_gamma=std_dif,
+               ini_sigma=std, ini_outputscale=300.0, bound_sigma=bs,
+               bound_gamma=bg, noise_warp=nw,
+               bound_noise_warp=(nw * 0.1, nw * 0.2),
+               warp_updating=True, method_compute_warp="greedy",
+               mode_warp="rough", verbose=False, hmm_switch=True,
+               max_models=100, bayesian_params=True,
+               estimation_limit=100, free_deg_MNIV=20)
+    x = np.arange(T, dtype=np.float64)
+    for i in range(N):
+        m.include_sample(x, data[i], with_warp=True)
+    part = np.asarray(m.resp_assigned[-1])
+    assert part.shape[0] == N
+    assert 1 <= m.M <= 6, f"implausible cluster count {m.M}"
+    # rec 102's opening beats are paced (uniform morphology): the
+    # dominant cluster should absorb the overwhelming majority
+    counts = np.bincount(part.astype(int))
+    assert counts.max() >= int(0.8 * N)
+
+
+@pytest.mark.slow
 def test_offline_assignment_parity_rec100_slice():
     data = np.load(os.path.join(REF, "data/mitbih/100.npy"))[:, :, [0]]
     labels = np.load(os.path.join(REF, "data/mitbih/100_labels.npy"))

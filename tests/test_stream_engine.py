@@ -1,0 +1,74 @@
+"""Fused streaming engine vs the host include_sample_fast path.
+
+The engine's in-program decision logic (scores, candidate evals,
+one-sample ELBO accounting, commit, reorder) must reproduce the host
+fast path's partition beat-for-beat when the rho/omega refinement runs
+at the same per-beat cadence (chunk_size=1)."""
+
+import numpy as np
+import pytest
+
+from hdpgpc_tpu.data.loader import default_x_basis, load_record
+from hdpgpc_tpu.data.priors import compute_estimators_lds
+from hdpgpc_tpu.models.hdpgpc import HDPGPC
+from hdpgpc_tpu.models.stream_online import OnlineStreamEngine
+
+N_BEATS = 60
+
+
+def _build(data):
+    std, std_dif, bs, bg = compute_estimators_lds(data)
+    N, T, L = data.shape
+    return HDPGPC(default_x_basis(T), n_outputs=L, ini_lengthscale=3.0,
+                  bound_lengthscale=(1.0, 20.0), ini_gamma=std_dif,
+                  ini_sigma=std, ini_outputscale=300.0, bound_sigma=bs,
+                  bound_gamma=bg, verbose=False, hmm_switch=True,
+                  max_models=100, bayesian_params=True,
+                  n_explore_steps=5, free_deg_MNIV=5)
+
+
+@pytest.fixture(scope="module")
+def rec100():
+    data, labels = load_record("100", lead=0)
+    return data[:N_BEATS], labels[:N_BEATS]
+
+
+@pytest.fixture(scope="module")
+def host_partition(rec100):
+    data, _ = rec100
+    m = _build(data)
+    x = np.arange(data.shape[1], dtype=np.float64)
+    labels = []
+    for i in range(data.shape[0]):
+        labels.append(m.include_sample_fast(x, data[i], with_warp=False))
+    # host labels are slot indices at assignment time; convert to a
+    # partition over final clusters via the per-beat member sets
+    part = np.full(data.shape[0], -1)
+    for mdl_idx, cl in enumerate(m.clusters[0][: m.M]):
+        part[cl.members] = mdl_idx
+    return m, part
+
+
+def test_engine_chunk1_matches_host(rec100, host_partition):
+    data, _ = rec100
+    m_host, part_host = host_partition
+    m = _build(data)
+    eng = OnlineStreamEngine(m, K=12, chunk=1)
+    eng.run(data[:, :, 0])
+    part_eng = eng.labels()
+    assert int(np.asarray(eng.carry.M)) == m_host.M, \
+        f"cluster count {int(np.asarray(eng.carry.M))} != {m_host.M}"
+    np.testing.assert_array_equal(part_eng, part_host)
+
+
+def test_engine_chunked_partition(rec100, host_partition):
+    """chunk=16 (rho/omega refinement at chunk cadence): the partition
+    must still match on this golden prefix (the decisions are robust to
+    the refinement lag here; any future divergence should be reviewed,
+    not rubber-stamped)."""
+    data, _ = rec100
+    _, part_host = host_partition
+    m = _build(data)
+    eng = OnlineStreamEngine(m, K=12, chunk=16)
+    eng.run(data[:, :, 0])
+    np.testing.assert_array_equal(eng.labels(), part_host)

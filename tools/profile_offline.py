@@ -29,15 +29,27 @@ def main():
     N, T, L = data.shape
     x_basis = default_x_basis(T)
     x_trains = np.tile(np.arange(T, dtype=np.float64), (N, 1))
-    model = HDPGPC(x_basis, n_outputs=L, ini_lengthscale=3.0,
-                   bound_lengthscale=(1.0, 20.0), ini_gamma=std_dif,
-                   ini_sigma=std, ini_outputscale=300.0,
-                   bound_sigma=bound_sigma, bound_gamma=bound_gamma,
-                   verbose=False, hmm_switch=True, max_models=100,
-                   bayesian_params=True, reestimate_initial_params=True,
-                   n_explore_steps=5, free_deg_MNIV=5,
-                   compute_dtype=os.environ.get("HDPGPC_BENCH_DTYPE",
-                                                "float32"))
+    est_limit = int(os.environ.get("HDPGPC_BENCH_ESTLIM", "0")) or None
+
+    def build():
+        return HDPGPC(x_basis, n_outputs=L, ini_lengthscale=3.0,
+                      bound_lengthscale=(1.0, 20.0), ini_gamma=std_dif,
+                      ini_sigma=std, ini_outputscale=300.0,
+                      bound_sigma=bound_sigma, bound_gamma=bound_gamma,
+                      verbose=False, hmm_switch=True, max_models=100,
+                      bayesian_params=True, reestimate_initial_params=True,
+                      n_explore_steps=5, free_deg_MNIV=5,
+                      estimation_limit=est_limit,
+                      compute_dtype=os.environ.get("HDPGPC_BENCH_DTYPE",
+                                                   "float32"))
+
+    if os.environ.get("HDPGPC_PROFILE_WARM") == "1":
+        warm = build()
+        warm.warmup_programs(N)
+        with contextlib.redirect_stdout(io.StringIO()):
+            warm.include_batch(x_trains, data, with_warp=False)
+        del warm  # timings are per-instance; the timed model starts clean
+    model = build()
     t0 = time.time()
     with contextlib.redirect_stdout(io.StringIO()):
         model.include_batch(x_trains, data, with_warp=False)

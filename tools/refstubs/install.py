@@ -211,3 +211,38 @@ def patch_fit_torch():
         return self.fitted
 
     GPI.IterativeGaussianProcess.fit_torch = fit_torch
+
+
+def patch_warp_empty_max():
+    """Make the reference's online warp path runnable: compute_warp_y
+    crashes whenever self.M == 1 because ``liks[-1] = liks[-1] +
+    torch.max(liks[:-1])`` reduces an EMPTY tensor (GPI_HDP.py:3226,
+    :3248, :3313) — i.e. beat 2 of EVERY online warp run (including the
+    reference's own tests/test_online_warp.py config) raises
+    ``RuntimeError: max(): Expected reduction dim to be specified for
+    input.numel() == 0`` under this torch version.
+
+    Shim semantics: a max over an empty tensor contributes the additive
+    identity 0.0, leaving the single existing model's lik unshifted —
+    at M == 1 there is no competing candidate, so no accept/reject
+    decision can change. Every other torch.max call passes through
+    untouched."""
+    import hdpgpc.GPI_HDP as mod
+    real = mod.torch
+    if getattr(mod.torch, "_warp_empty_max_shim", False):
+        return
+
+    class _TorchShim:
+        _warp_empty_max_shim = True
+
+        def __getattr__(self, name):
+            return getattr(real, name)
+
+        @staticmethod
+        def max(*a, **k):
+            if (len(a) == 1 and not k and hasattr(a[0], "numel")
+                    and a[0].numel() == 0):
+                return real.zeros((), dtype=a[0].dtype)
+            return real.max(*a, **k)
+
+    mod.torch = _TorchShim()
