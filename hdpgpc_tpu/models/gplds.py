@@ -413,57 +413,16 @@ def _tail_smooth(f_filt_t, P_filt_t, A, G, anchor):
     return gs, 0.5 * (Ls + Ls.swapaxes(-1, -2))
 
 
-class RefitResult(NamedTuple):
-    q: jax.Array        # (N,) emission scores (compute_sq_err_all parity)
-    q_lat: jax.Array    # (N,) latent scores (compute_q_lat_all parity)
-    snr: jax.Array      # (N,) SNR of each beat vs the closest smoothed
-    #                     state (GPI_HDP.compute_snr, GPI_HDP.py:732-748)
-    state: ClusterState
+def make_forward_step(T, limit, annealing, dynamic, update_params,
+                      pair_smooth, full_backward):
+    """One member-append step of the refit scan (Kalman update +
+    tail-pair smoothing + 1-step MNIW conjugate update), shared between
+    the batch refit programs and the fused online streaming engine.
 
-
-def build_refit(T: int, est_limit: Optional[int] = None,
-                annealing: bool = True, dynamic: bool = True,
-                update_params: bool = True, pair_smooth: bool = True,
-                full_backward: bool = True, bucket: Optional[int] = None,
-                emit_smoothed: bool = False, hybrid: bool = True):
-    """Build the jitted refit program for (static) beat length T.
-
-    Returns ``refit(Y, resp, state) -> RefitResult`` with Y: (N, T) and
-    resp: (N,) hard responsibilities in {0, 1}.  With
-    ``emit_smoothed=True`` it returns ``(RefitResult, (Y_s, f_sm, P_sm,
-    m_s))`` — the member-gathered beats and smoothed sequences in slot
-    order (the ML-EM path consumes these; GPI.new_params_LDS operates on
-    smoothed moments, GPI.py:302-455).
-
-    Variants (all static):
-    * ``update_params=False``: the q_simple path — include members with
-      NO Bayesian update, score everything (GPI_HDP.py:1284-1297).
-    * ``pair_smooth=False``: online-commit semantics (no backwards_pair
-      before the MNIW update, GPI_HDP.py:2185-2197).
-    * ``full_backward=False``: skip the final full RTS pass (online
-      steps never run it).
-
-    Scoring outputs are parity-exact only for fresh-state refits
-    (state.n == 0); continuation calls (online appends) use the state
-    summary and tail primitives instead.
-
-    ``bucket``: static scan length over GATHERED members (members are
-    argsort-gathered to the front in time order, padding slots at the
-    tail are pass-throughs). The Kalman/MNIW/RTS scans then cost
-    O(bucket) instead of O(N) — a birth-seed scoring pass over one
-    member runs a 1-ish-length scan rather than an N-length one. The
-    caller must guarantee bucket >= number of members. bucket=None
-    scans over all N.
+    ``carry`` = (f, P, f_prevF, P_prevF, A, G, C, S, mniw2, n, noise0,
+    G0diag, S0diag) with mniw2 the internal/observation posteriors
+    stacked on a leading dim of 2; ``inp`` = (y (T,), h in {0,1}).
     """
-    limit = jnp.inf if est_limit is None else float(est_limit)
-    # Hybrid head/tail split: past the estimation limit every parameter
-    # update is a no-op (N_new < limit fails), so slots >= est_limit are
-    # fixed-parameter filtering — swapped for the associative-scan
-    # filter/smoother (O(log N) depth instead of O(N) sequential steps).
-    E_int = None if est_limit is None else max(int(est_limit), 1)
-    hybrid_ok = (hybrid and E_int is not None and dynamic and update_params
-                 and full_backward)
-
     def forward_step(carry, inp):
         (f, P, f_prevF, P_prevF, A, G, C, S, mniw, n,
          noise0, G0diag, S0diag) = carry
@@ -494,17 +453,33 @@ def build_refit(T: int, est_limit: Optional[int] = None,
             dmean = jnp.maximum(jnp.mean(jnp.abs(jnp.diagonal(
                 stacked, axis1=1, axis2=2)), axis=1), 1e-30)
             stacked = stacked + (1e-5 * dmean)[:, None, None] * eye
-        facs = jnp.linalg.cholesky(stacked)
-        L_S, L_Pp = facs[0], facs[1]
-        # K = P_pred C' S^{-1}
-        K = jax.scipy.linalg.cho_solve((L_S, True), (P_pred_kal @ C.T).T).T
+        from hdpgpc_tpu.ops.pallas.chol_solve import (fused_spd_solve,
+                                                      pallas_solves_enabled)
+        use_pallas = (dtype == jnp.float32 and T <= 128
+                      and pallas_solves_enabled())
+        if use_pallas:
+            # fused Pallas factor+solve: one kernel for both SPD systems
+            # (S_innov^{-1} C P_pred_kal -> K', P_pred^{-1} A P -> J')
+            rhs = jnp.stack([C @ P_pred_kal, A @ P])
+            X = fused_spd_solve(stacked, rhs)
+            K = X[0].T
+        else:
+            facs = jnp.linalg.cholesky(stacked)
+            L_S, L_Pp = facs[0], facs[1]
+            # K = P_pred C' S^{-1}
+            K = jax.scipy.linalg.cho_solve(
+                (L_S, True), (P_pred_kal @ C.T).T).T
         f_up = m + K @ (y[:, None] - y_pred)
         IKC = eye - K @ C
         P_up = IKC @ P_pred_kal @ IKC.T + K @ R @ K.T
 
         if pair_smooth:
             # J = P A' P_pred^{-1}
-            J = jax.scipy.linalg.cho_solve((L_Pp, True), (P @ A.T).T).T
+            if use_pallas:
+                J = X[1].T
+            else:
+                J = jax.scipy.linalg.cho_solve(
+                    (L_Pp, True), (P @ A.T).T).T
             f_smp_up = f + J @ (f_up - A @ f)
             P_smp_up = P + J @ (P_up - P_pred_dyn) @ J.T
             has_pair = n >= 1
@@ -611,6 +586,69 @@ def build_refit(T: int, est_limit: Optional[int] = None,
                     score_mean)
         return new_carry, emit
 
+    return forward_step
+
+
+class RefitResult(NamedTuple):
+    q: jax.Array        # (N,) emission scores (compute_sq_err_all parity)
+    q_lat: jax.Array    # (N,) latent scores (compute_q_lat_all parity)
+    snr: jax.Array      # (N,) SNR of each beat vs the closest smoothed
+    #                     state (GPI_HDP.compute_snr, GPI_HDP.py:732-748)
+    state: ClusterState
+    lds: jax.Array      # scalar lds_param_elbo of the refit state (0.0
+    #                     unless build_refit(free_deg=...) was given) —
+    #                     rides the same packed fetch so compute_q_elbo
+    #                     needs no separate device round-trip
+
+
+def build_refit(T: int, est_limit: Optional[int] = None,
+                annealing: bool = True, dynamic: bool = True,
+                update_params: bool = True, pair_smooth: bool = True,
+                full_backward: bool = True, bucket: Optional[int] = None,
+                emit_smoothed: bool = False, hybrid: bool = True,
+                free_deg: Optional[float] = None):
+    """Build the jitted refit program for (static) beat length T.
+
+    Returns ``refit(Y, resp, state) -> RefitResult`` with Y: (N, T) and
+    resp: (N,) hard responsibilities in {0, 1}.  With
+    ``emit_smoothed=True`` it returns ``(RefitResult, (Y_s, f_sm, P_sm,
+    m_s))`` — the member-gathered beats and smoothed sequences in slot
+    order (the ML-EM path consumes these; GPI.new_params_LDS operates on
+    smoothed moments, GPI.py:302-455).
+
+    Variants (all static):
+    * ``update_params=False``: the q_simple path — include members with
+      NO Bayesian update, score everything (GPI_HDP.py:1284-1297).
+    * ``pair_smooth=False``: online-commit semantics (no backwards_pair
+      before the MNIW update, GPI_HDP.py:2185-2197).
+    * ``full_backward=False``: skip the final full RTS pass (online
+      steps never run it).
+
+    Scoring outputs are parity-exact only for fresh-state refits
+    (state.n == 0); continuation calls (online appends) use the state
+    summary and tail primitives instead.
+
+    ``bucket``: static scan length over GATHERED members (members are
+    argsort-gathered to the front in time order, padding slots at the
+    tail are pass-throughs). The Kalman/MNIW/RTS scans then cost
+    O(bucket) instead of O(N) — a birth-seed scoring pass over one
+    member runs a 1-ish-length scan rather than an N-length one. The
+    caller must guarantee bucket >= number of members. bucket=None
+    scans over all N.
+    """
+    limit = jnp.inf if est_limit is None else float(est_limit)
+    # Hybrid head/tail split: past the estimation limit every parameter
+    # update is a no-op (N_new < limit fails), so slots >= est_limit are
+    # fixed-parameter filtering — swapped for the associative-scan
+    # filter/smoother (O(log N) depth instead of O(N) sequential steps).
+    E_int = None if est_limit is None else max(int(est_limit), 1)
+    hybrid_ok = (hybrid and E_int is not None and dynamic and update_params
+                 and full_backward)
+
+    forward_step = make_forward_step(T, limit, annealing, dynamic,
+                                     update_params, pair_smooth,
+                                     full_backward)
+
     def backward_step(carry, inp):
         f_next_sm, P_next_sm, started = carry
         member, f_t, P_t, A_t, G_t = inp
@@ -623,8 +661,7 @@ def build_refit(T: int, est_limit: Optional[int] = None,
                      started | member)
         return new_carry, (f_sm, P_sm)
 
-    @precise_jit
-    def refit(Y, resp, state: ClusterState) -> RefitResult:
+    def _refit_core(Y, resp, state: ClusterState):
         N = Y.shape[0]
         dtype = Y.dtype
         n_before = state.n
@@ -652,8 +689,9 @@ def build_refit(T: int, est_limit: Optional[int] = None,
         # sequential scan than as the exact parallel filter (whose
         # batched LU combines are slow on TPU); only split when the
         # steady-state tail can engage.
-        if hybrid_ok and B > E_int and (dtype != jnp.float32
-                                        or B - E_int >= 128):
+        take_hybrid = hybrid_ok and B > E_int and (dtype != jnp.float32
+                                                   or B - E_int >= 128)
+        if take_hybrid:
             # ---- hybrid: sequential head (parameter updates live) +
             # parallel frozen tail. Exact: by slot E_int every
             # do_mniw/do_append condition is False (N_new >= limit), so
@@ -906,10 +944,19 @@ def build_refit(T: int, est_limit: Optional[int] = None,
             A_prev=A_prev_new, Gamma_prev=G_prev_new,
             mniw_int=m_int_f, mniw_obs=m_obs_f,
         )
-        result = RefitResult(q=q, q_lat=q_lat, snr=snr, state=new_state)
+        if free_deg is not None:
+            lds_val = lds_param_elbo(new_state, float(free_deg))
+        else:
+            lds_val = jnp.zeros((), dtype)
+        result = RefitResult(q=q, q_lat=q_lat, snr=snr, state=new_state,
+                             lds=lds_val)
         if emit_smoothed:
             return result, (Y_s, f_sm, P_sm, m_s)
         return result
+
+    @precise_jit
+    def refit(Y, resp, state: ClusterState):
+        return _refit_core(Y, resp, state)
 
     return refit
 

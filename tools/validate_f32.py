@@ -1,0 +1,161 @@
+"""f32 speed-mode structural validation across the bundled MIT-BIH records.
+
+VERDICT r2 weakness #3: the float32 speed mode (internal amplitude
+normalisation, compute_dtype="float32") was quality-gated only by the
+rec-100 classification error. This tool quantifies its *structural*
+fidelity against the float64 exact-parity mode on every bundled record:
+per record it runs the offline VI sweep (reference test_offline.py
+configuration, warp off — GPI_HDP.py:805 semantics) in both dtypes and
+reports cluster count, classification error, and the adjusted Rand
+index between the two hard partitions.
+
+Resumable: results accumulate in a JSON artifact (one entry per
+(record, beats) pair); already-validated records are skipped, so a
+dropped TPU tunnel only costs the in-flight record. The committed
+table lives at docs/F32_VALIDATION.md (--write-md).
+
+Usage:
+  python tools/validate_f32.py [--records 100,119] [--beats N]
+      [--platform cpu] [--out docs/f32_validation.json] [--write-md]
+"""
+
+import argparse
+import contextlib
+import io
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def assignments(model):
+    """Per-beat hard cluster id from the model's member sets."""
+    import numpy as np
+    member_idx = model.member_indexes()
+    out = np.full(model.T_count, -1, np.int64)
+    for m, idx in enumerate(member_idx):
+        for i in idx:
+            out[i] = m
+    return out
+
+
+def run_one(rec, beats, dtype):
+    import numpy as np
+
+    from hdpgpc_tpu.data.loader import default_x_basis, load_record
+    from hdpgpc_tpu.data.priors import compute_estimators_lds
+    from hdpgpc_tpu.models.hdpgpc import HDPGPC
+    from hdpgpc_tpu.utils.eval import classification_error
+
+    data, labels = load_record(rec, lead=0)
+    if beats:
+        data, labels = data[:beats], labels[:beats]
+    std, std_dif, bs, bg = compute_estimators_lds(data)
+    N, T, L = data.shape
+    x = np.tile(np.arange(T, dtype=np.float64), (N, 1))
+    m = HDPGPC(default_x_basis(T), n_outputs=L, ini_gamma=std_dif,
+               ini_sigma=std, ini_outputscale=300.0, bound_sigma=bs,
+               bound_gamma=bg, reestimate_initial_params=True,
+               n_explore_steps=5, compute_dtype=dtype)
+    t0 = time.time()
+    with contextlib.redirect_stdout(io.StringIO()):
+        m.include_batch(x, data, with_warp=False)
+    err, tot = classification_error(m, labels, 0)
+    return {"M": int(m.M), "err": int(err), "tot": int(tot),
+            "sec": round(time.time() - t0, 1)}, assignments(m)
+
+
+def write_md(results, path):
+    rows = sorted(results.items())
+    lines = [
+        "# float32 speed-mode structural validation",
+        "",
+        "Per bundled MIT-BIH record: offline VI (reference test_offline.py",
+        "configuration, lead 0, warp off) run in float64 (exact-parity mode)",
+        "and float32 (TPU speed mode with internal amplitude normalisation).",
+        "ARI = adjusted Rand index between the two final hard partitions",
+        "(1.0 = identical member sets up to relabeling). Produced by",
+        "`tools/validate_f32.py`; artifact `docs/f32_validation.json`.",
+        "",
+        "| rec | beats | M f64 | M f32 | err f64 | err f32 | ARI | s f64 | s f32 |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    n = 0
+    ari_sum = 0.0
+    err64 = err32 = tot = 0
+    for key, r in rows:
+        rec = key.split("@")[0]
+        lines.append(
+            f"| {rec} | {r['beats']} | {r['f64']['M']} | {r['f32']['M']} "
+            f"| {r['f64']['err']}/{r['f64']['tot']} "
+            f"| {r['f32']['err']}/{r['f32']['tot']} "
+            f"| {r['ari']:.4f} | {r['f64']['sec']} | {r['f32']['sec']} |")
+        n += 1
+        ari_sum += r["ari"]
+        err64 += r["f64"]["err"]
+        err32 += r["f32"]["err"]
+        tot += r["f64"]["tot"]
+    if n:
+        lines += [
+            "",
+            f"**{n} records; mean ARI {ari_sum / n:.4f}; total error "
+            f"f64 {err64}/{tot} ({err64 / max(tot, 1):.4f}) vs "
+            f"f32 {err32}/{tot} ({err32 / max(tot, 1):.4f}).**",
+        ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {path}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--records", default=None)
+    ap.add_argument("--beats", type=int, default=None,
+                    help="cap beats per record (default: full record)")
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--out", default="docs/f32_validation.json")
+    ap.add_argument("--md", default="docs/F32_VALIDATION.md")
+    ap.add_argument("--write-md", action="store_true",
+                    help="only regenerate the markdown table from --out")
+    args = ap.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    results = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+    if args.write_md:
+        write_md(results, args.md)
+        return
+
+    from hdpgpc_tpu.data.loader import list_records
+    from hdpgpc_tpu.utils.eval import adjusted_rand_index
+
+    recs = args.records.split(",") if args.records else list_records()
+    for rec in recs:
+        key = f"{rec}@{args.beats or 'full'}"
+        if key in results:
+            print(f"{key}: cached", flush=True)
+            continue
+        try:
+            r64, a64 = run_one(rec, args.beats, "float64")
+            r32, a32 = run_one(rec, args.beats, "float32")
+        except FileNotFoundError:
+            continue
+        ari = adjusted_rand_index(a64, a32)
+        results[key] = {"beats": args.beats or r64["tot"], "f64": r64,
+                        "f32": r32, "ari": round(float(ari), 6)}
+        print(f"rec {rec}: M {r64['M']}->{r32['M']} err {r64['err']}->"
+              f"{r32['err']}/{r64['tot']} ARI {ari:.4f} "
+              f"({r64['sec']}s/{r32['sec']}s)", flush=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+    write_md(results, args.md)
+
+
+if __name__ == "__main__":
+    main()
