@@ -116,6 +116,9 @@ class ModelConfig:
     share_gp: bool = False
     n_explore_steps: int = 10
     reestimate_initial_params: bool = False
+    # variance-ranked lead reduction (GPI_HDP.py:703-714, :830-831)
+    reduce_outputs: bool = False
+    reduce_outputs_ratio: float = 1.0
     # 'float64' for reference parity (default); 'float32' is the v5e
     # speed mode — f64 is emulated on TPU, f32 is native. Cluster
     # decisions can differ slightly in f32.

@@ -118,6 +118,8 @@ class HDPGPC:
                  reestimate_initial_params: bool = False,
                  n_explore_steps: int = 10, free_deg_MNIV: int = 5,
                  share_gp: bool = False, use_snr: bool = True,
+                 reduce_outputs: bool = False,
+                 reduce_outputs_ratio: float = 1.0,
                  hdp_hyp: str = "balanced", compute_dtype: str = "float64",
                  config: Optional[ModelConfig] = None, **_ignored):
         if config is None:
@@ -143,6 +145,8 @@ class HDPGPC:
                 n_outputs=n_outputs, initial_clusters=M or 1,
                 max_models=max_models, hmm_switch=hmm_switch,
                 bayesian_params=bayesian_params, use_snr=use_snr,
+                reduce_outputs=reduce_outputs,
+                reduce_outputs_ratio=reduce_outputs_ratio,
                 share_gp=share_gp, n_explore_steps=n_explore_steps,
                 reestimate_initial_params=reestimate_initial_params,
                 compute_dtype=compute_dtype,
@@ -669,6 +673,73 @@ class HDPGPC:
             frac = w.sum(axis=0) / w.sum()
         return np.einsum("ij,j->i", q, frac)
 
+    def reduce_num_outputs(self, y_trains: np.ndarray) -> np.ndarray:
+        """Drop low-variance leads, keeping ceil(ratio * L) of them
+        (GPI_HDP.reduce_num_outputs, GPI_HDP.py:703-714: variance of the
+        per-beat sums across samples ranks the leads). Mutates the
+        per-lead cluster banks; returns the reduced batch. Enabled via
+        ``reduce_outputs=True`` (GPI_HDP.py:830-831)."""
+        ratio = self.cfg.reduce_outputs_ratio
+        keep = int(np.rint(y_trains.shape[2] * ratio))
+        var = np.var(np.sum(y_trains, axis=1), axis=0)
+        final = np.sort(var.argsort()[::-1][:keep])
+        print("Performed reduction of outputs based on variance.")
+        print(f"Ratio of reduction: {ratio} Final outputs: {final}")
+        self.n_outputs = keep
+        self.clusters = [self.clusters[ld] for ld in final]
+        if self.snr_norm.shape[0]:
+            self.snr_norm = self.snr_norm[:, final]
+        import dataclasses as _dc
+        self.cfg = _dc.replace(self.cfg, n_outputs=keep)
+        return y_trains[:, :, final]
+
+    def compute_joint_xy_q(self, y_trains: np.ndarray,
+                           outputs: Tuple[int, int] = (0, 1),
+                           rho_xy: Optional[np.ndarray] = None,
+                           jitter: float = 1e-6) -> np.ndarray:
+        """Joint two-lead Gaussian emission score with a per-cluster
+        cross-lead correlation (GPI_HDP.compute_joint_xy_q,
+        GPI_HDP.py:758-803). NOTE: the reference version reads
+        ``self.rho_xy`` which is never initialised anywhere in that
+        codebase — it cannot actually run there; here the per-cluster
+        correlations are an explicit argument (default: uncorrelated).
+
+        TPU-native form: the joint (2T, 2T) covariance is
+        sample-independent, so it is factored ONCE per cluster and all N
+        residuals are scored in one batched solve (the reference loops
+        N x M single-sample Choleskys).
+        """
+        import jax.numpy as jnp
+        import jax.scipy.linalg as jsl
+
+        ld_x, ld_y = outputs
+        N, T, _ = y_trains.shape
+        M = len(self.clusters[ld_x])
+        rho = np.tanh(np.zeros(M) if rho_xy is None
+                      else np.asarray(rho_xy, np.float64))
+        q = np.zeros((N, M))
+        for m in range(M):
+            means, covs = [], []
+            for ld in (ld_x, ld_y):
+                st = self.clusters[ld][m].state
+                means.append(np.asarray(st.C @ st.f_last).reshape(-1))
+                covs.append(np.asarray(st.Sigma, np.float64))
+            sx = np.sqrt(np.clip(np.diag(covs[0]), jitter, None))
+            sy = np.sqrt(np.clip(np.diag(covs[1]), jitter, None))
+            cross = rho[m] * np.diag(sx * sy)
+            Sig = np.block([[covs[0], cross], [cross.T, covs[1]]]) \
+                + jitter * np.eye(2 * T)
+            r = np.concatenate([
+                y_trains[:, :, ld_x] - means[0][None],
+                y_trains[:, :, ld_y] - means[1][None]], axis=1)  # (N, 2T)
+            L_ = jnp.linalg.cholesky(jnp.asarray(Sig))
+            alpha = np.asarray(jsl.cho_solve((L_, True),
+                                             jnp.asarray(r.T)))  # (2T, N)
+            logdet = float(2.0 * np.sum(np.log(np.diag(np.asarray(L_)))))
+            q[:, m] = -0.5 * (np.einsum("ij,ji->i", r, alpha) + logdet
+                              + 2 * T * np.log(2.0 * np.pi))
+        return q
+
     # ------------------------------------------------------------------
     # HMM message passing wrappers
     # ------------------------------------------------------------------
@@ -1086,6 +1157,9 @@ class HDPGPC:
         x = x.reshape(x.shape[0], -1) if x.ndim > 1 else x
         N, T, L = y.shape
         assert T == self.Tb and L == self.n_outputs
+        if self.cfg.reduce_outputs and self.cfg.reduce_outputs_ratio < 1.0:
+            y = self.reduce_num_outputs(y)          # GPI_HDP.py:830-831
+            L = self.n_outputs
         if self.dtype == jnp.float32:
             y = self._maybe_normalise_f32(y)
         self._refit_memo.clear()

@@ -97,3 +97,45 @@ def test_offline_sweep_ml_em_path():
             n0 = float(np.asarray(cl.state.mniw_int.n0))
             assert n0 == pytest.approx(5.0), \
                 f"MNIW posterior advanced (n0={n0}): Bayesian path ran"
+
+
+def test_reduce_num_outputs_drops_low_variance_lead():
+    """GPI_HDP.reduce_num_outputs (GPI_HDP.py:703-714): variance of
+    per-beat sums ranks leads; ratio=0.5 on 2 leads keeps the one with
+    the larger variance and shrinks the per-lead cluster banks."""
+    rng = np.random.default_rng(0)
+    N, T = 12, 90
+    strong = np.sin(np.linspace(0, 6, T))[None] * (
+        1.0 + 0.5 * rng.standard_normal((N, 1)))
+    weak = 0.01 * rng.standard_normal((N, T))
+    y = np.stack([weak, strong], axis=2)                  # lead 1 wins
+    std, std_dif, bs, bg = compute_estimators_lds(y)
+    m = _build_model(T, std, std_dif, bs, bg, n_outputs=2,
+                     reduce_outputs=True, reduce_outputs_ratio=0.5)
+    y_red = m.reduce_num_outputs(y)
+    assert y_red.shape == (N, T, 1)
+    assert m.n_outputs == 1 and len(m.clusters) == 1
+    np.testing.assert_array_equal(y_red[:, :, 0], strong)
+
+
+def test_compute_joint_xy_q_matches_independent_when_rho_zero():
+    """With rho_xy = 0 the joint two-lead score factorises into the sum
+    of per-lead Gaussian scores (up to the shared jitter); scores must
+    rank a matching beat above a mismatched one."""
+    rng = np.random.default_rng(1)
+    N, T = 6, 90
+    base = np.sin(np.linspace(0, 6, T))
+    y = np.stack([base[None] + 0.05 * rng.standard_normal((N, T)),
+                  base[None] * 0.5 + 0.05 * rng.standard_normal((N, T))],
+                 axis=2)
+    std, std_dif, bs, bg = compute_estimators_lds(y)
+    m = _build_model(T, std, std_dif, bs, bg, n_outputs=2)
+    q0 = m.compute_joint_xy_q(y)                          # rho default 0
+    assert q0.shape == (N, m.M)
+    assert np.isfinite(q0).all()
+    # correlated variant shifts the score but stays finite and ordered
+    q_rho = m.compute_joint_xy_q(y, rho_xy=np.full(m.M, 0.5))
+    assert np.isfinite(q_rho).all()
+    far = y + 50.0
+    q_far = m.compute_joint_xy_q(far)
+    assert (q_far < q0).all()
