@@ -337,6 +337,41 @@ class HDPGPC:
                                lr=g.kernel_fit_lr, dtype=self.dtype)
         return KernelParams(*(np.float64(v) for v in theta))
 
+    def _prefetch_kernel_fits(self, jobs) -> None:
+        """Run every kernel fit a refit batch will need as ONE vmapped
+        Adam program (fit_kernel_batch) instead of per-job sequential
+        fits (VERDICT r2 lever 1c). Results land in _kernel_fit_cache
+        under the same (lead, seed, bound) keys _maybe_kernel_fit reads,
+        and are identical to its solo fits (per-lane early stop). The
+        SGPR/inducing path keeps solo fits."""
+        if self.cfg.gp.inducing_points:
+            return
+        need = {}
+        for (cl, ld, Y, rc) in jobs:
+            if cl.fitted:
+                continue
+            active = np.flatnonzero(rc > 0.99)
+            if active.size == 0:
+                continue
+            seed = int(active[0])
+            key = (ld, seed, self._def_bound_sigma)
+            if key not in self._kernel_fit_cache and key not in need:
+                need[key] = Y[seed]
+        if len(need) < 2:
+            return      # solo path handles 0/1 fits without extra cost
+        from hdpgpc_tpu.models.kernel_fit import fit_kernel_batch
+        g = self.cfg.gp
+        keys = list(need.keys())
+        thetas = fit_kernel_batch(
+            self.x_basis, np.stack([need[k] for k in keys]),
+            self._def_bound_sigma,
+            pin_lengthscale=g.kernel_fit_pin_lengthscale,
+            max_iters=g.kernel_fit_iters, lr=g.kernel_fit_lr,
+            dtype=self.dtype)
+        for k, th in zip(keys, thetas):
+            self._kernel_fit_cache[k] = KernelParams(
+                *(np.float64(v) for v in th))
+
     def _maybe_kernel_fit(self, cl: Cluster, ld: int, Y: np.ndarray,
                           resp_col: np.ndarray) -> Cluster:
         """First-active-sample kernel hyperparameter fit
@@ -552,6 +587,7 @@ class HDPGPC:
             return [self._full_refit_ml(cl, ld, Y, rc,
                                         update_params=update_params)
                     for (cl, ld, Y, rc) in jobs]
+        self._prefetch_kernel_fits(jobs)
         if len(jobs) == 1:
             cl, ld, Y, rc = jobs[0]
             return [self._full_refit_raw(cl, ld, Y, rc,

@@ -27,6 +27,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from hdpgpc_tpu.ops.kernels import KernelParams
@@ -70,9 +71,8 @@ _FIT_CHUNK = 500
 _FIT_CHUNK_F32 = 4000
 
 
-@functools.partial(precise_jit, static_argnames=("chunk", "lr"))
-def _fit_chunk(tp, opt_state, buf, i0, n_lb, n_ub, x, y,
-               chunk: int = _FIT_CHUNK, lr: float = 0.1):
+def _fit_chunk_core(tp, opt_state, buf, i0, n_lb, n_ub, x, y,
+                    chunk: int = _FIT_CHUNK, lr: float = 0.1):
     opt = optax.adam(lr)
     params = {"n_lb": n_lb, "n_ub": n_ub}
     grad_fn = jax.value_and_grad(lambda t: _nll({**params, **t}, x, y))
@@ -96,6 +96,68 @@ def _fit_chunk(tp, opt_state, buf, i0, n_lb, n_ub, x, y,
             jnp.asarray(False))
     _, i, tp, opt_state, buf, done = jax.lax.while_loop(cond, body, init)
     return tp, opt_state, buf, i, done
+
+
+_fit_chunk = functools.partial(precise_jit,
+                               static_argnames=("chunk", "lr"))(
+    _fit_chunk_core)
+
+
+@functools.partial(precise_jit, static_argnames=("chunk", "lr"))
+def _fit_chunk_batch(tps, opt_states, bufs, i0s, dones, n_lb, n_ub, x, Ys,
+                     chunk: int = _FIT_CHUNK, lr: float = 0.1):
+    """Vmapped chunk of Adam iterations over B independent seed beats in
+    ONE device program (VERDICT r2 lever 1c: distinct birth-seed fits
+    previously ran as separate sequential Adam programs). The per-lane
+    plateau early-stop is preserved: an already-done lane keeps its
+    state/counter frozen across chunks, so each lane's result is
+    identical to its solo fit."""
+    def one(tp, os_, buf, i0, done, y):
+        tp2, os2, buf2, i2, d2 = _fit_chunk_core(
+            tp, os_, buf, i0, n_lb, n_ub, x, y, chunk=chunk, lr=lr)
+        keep = lambda new, old: jnp.where(done, old, new)
+        tp2 = jax.tree.map(keep, tp2, tp)
+        os2 = jax.tree.map(keep, os2, os_)
+        return (tp2, os2, keep(buf2, buf), keep(i2, i0), d2 | done)
+
+    return jax.vmap(one)(tps, opt_states, bufs, i0s, dones, Ys)
+
+
+def fit_kernel_batch(x_basis, Ys, bound_sigma: Tuple[float, float],
+                     pin_lengthscale: float = 1.2, max_iters: int = 4000,
+                     lr: float = 0.1, dtype=None):
+    """Batched fit_kernel over B seed beats: one vmapped Adam program
+    per host chunk instead of B sequential programs. Returns a list of
+    B KernelParams, each identical to the corresponding solo
+    fit_kernel result (per-lane early stop)."""
+    Ys = jnp.asarray(Ys, dtype)
+    B = Ys.shape[0]
+    x = jnp.asarray(x_basis, dtype).reshape(-1)
+    dt = x.dtype
+    lb = jnp.asarray(bound_sigma[0], dt)
+    ub = jnp.asarray(bound_sigma[1], dt)
+    z = jnp.zeros((B,), dt)
+    tps = {"raw_s": z, "raw_l": z, "raw_n": z, "c": z}
+    one_tp = {k: jnp.asarray(0.0, dt) for k in tps}
+    opt_states = jax.vmap(lambda _: optax.adam(lr).init(one_tp))(z)
+    bufs = jnp.zeros((B, 11), dt)
+    i = jnp.zeros((B,), jnp.int32)
+    dones = jnp.zeros((B,), bool)
+    fit_chunk = _FIT_CHUNK_F32 if dt == jnp.float32 else _FIT_CHUNK
+    while True:
+        i_min = int(jnp.min(jnp.where(dones, max_iters, i)))
+        if i_min >= max_iters or bool(jnp.all(dones)):
+            break
+        chunk = min(fit_chunk, max_iters - i_min)
+        tps, opt_states, bufs, i, dones = _fit_chunk_batch(
+            tps, opt_states, bufs, i, dones, lb, ub, x, Ys,
+            chunk=chunk, lr=lr)
+    s = _softplus(tps["raw_s"])
+    n = lb + (ub - lb) * jax.nn.sigmoid(tps["raw_n"])
+    s, n = np.asarray(s), np.asarray(n)
+    return [KernelParams(outputscale=s[b],
+                         lengthscale=np.asarray(pin_lengthscale),
+                         noise=n[b]) for b in range(B)]
 
 
 def _fit(x, y, n_lb, n_ub, max_iters: int = 4000, lr: float = 0.1):
