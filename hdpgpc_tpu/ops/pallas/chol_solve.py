@@ -164,11 +164,38 @@ def fused_spd_solve(spd: jax.Array, rhs: jax.Array,
 @functools.lru_cache(None)
 def pallas_solves_enabled() -> bool:
     """Use the fused kernel on the f32 refit path: TPU backend only
-    (CPU keeps the XLA lowering), overridable via HDPGPC_PALLAS_SOLVES."""
+    (CPU keeps the XLA lowering), overridable via HDPGPC_PALLAS_SOLVES.
+
+    On TPU the decision is self-validating: the kernel is compiled and
+    numerically smoke-tested against the XLA solve once per process,
+    and any Mosaic/runtime failure silently falls back to the XLA
+    lowering (a production sweep must never die on a kernel-gate
+    regression)."""
     env = os.environ.get("HDPGPC_PALLAS_SOLVES")
     if env is not None:
         return env not in ("0", "false", "")
     try:
-        return jax.default_backend() == "tpu"
-    except Exception:
+        if jax.default_backend() != "tpu":
+            return False
+        import numpy as _np
+        rng = _np.random.default_rng(0)
+        M = rng.standard_normal((2, 90, 90)).astype(_np.float32)
+        spd = M @ M.transpose(0, 2, 1) + 5.0 * _np.eye(90, dtype=_np.float32)
+        rhs = rng.standard_normal((2, 90, 90)).astype(_np.float32)
+        X = _np.asarray(fused_spd_solve(jnp.asarray(spd), jnp.asarray(rhs),
+                                        interpret=False))
+        ref = _np.stack([_np.linalg.solve(spd[i].astype(_np.float64),
+                                          rhs[i].astype(_np.float64))
+                         for i in range(2)])
+        ok = bool(_np.max(_np.abs(X - ref) / (_np.abs(ref) + 1e-3)) < 5e-3)
+        if not ok:
+            import sys as _sys
+            print("hdpgpc_tpu: pallas chol_solve smoke test FAILED "
+                  "numerically; falling back to XLA solves",
+                  file=_sys.stderr)
+        return ok
+    except Exception as e:  # Mosaic compile / runtime failure
+        import sys as _sys
+        print(f"hdpgpc_tpu: pallas chol_solve unavailable ({e!r}); "
+              "falling back to XLA solves", file=_sys.stderr)
         return False
