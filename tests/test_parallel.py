@@ -106,3 +106,32 @@ def test_streaming_classifier():
     acc = float(np.mean(labels == z))
     assert acc > 0.95, f"streaming accuracy {acc}"
     assert float(jnp.sum(st2.counts)) == 800.0
+
+
+@pytest.mark.slow
+def test_all_records_mesh_equals_sequential():
+    """BASELINE config 4 equality: examples/run_all_records.py's mesh
+    mode (one record per device, thread-pinned via jax.default_device)
+    must produce exactly the sequential mode's outputs — same per-record
+    algorithm, same seeds, so (clusters, error) match per record."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "run_all_records", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples", "run_all_records.py"))
+    rar = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rar)
+
+    import jax
+
+    recs = ["100", "119"]
+    beats = 100
+    seq = [rar._sweep_record(r, beats, "balanced") for r in recs]
+    devs = jax.devices()
+    mesh = [rar._sweep_record(r, beats, "balanced",
+                              device=devs[i % len(devs)])
+            for i, r in enumerate(recs)]
+    for s, m in zip(seq, mesh):
+        assert s[:5] == m[:5], (s, m)   # (rec, N, M, err, tot) equal
