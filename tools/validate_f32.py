@@ -41,7 +41,7 @@ def assignments(model):
     return out
 
 
-def run_one(rec, beats, dtype):
+def run_one(rec, beats, dtype, est_limit=None):
     import numpy as np
 
     from hdpgpc_tpu.data.loader import default_x_basis, load_record
@@ -58,7 +58,8 @@ def run_one(rec, beats, dtype):
     m = HDPGPC(default_x_basis(T), n_outputs=L, ini_gamma=std_dif,
                ini_sigma=std, ini_outputscale=300.0, bound_sigma=bs,
                bound_gamma=bg, reestimate_initial_params=True,
-               n_explore_steps=5, compute_dtype=dtype)
+               n_explore_steps=5, compute_dtype=dtype,
+               estimation_limit=est_limit)
     t0 = time.time()
     with contextlib.redirect_stdout(io.StringIO()):
         m.include_batch(x, data, with_warp=False)
@@ -73,8 +74,10 @@ def write_md(results, path):
         "# float32 speed-mode structural validation",
         "",
         "Per bundled MIT-BIH record: offline VI (reference test_offline.py",
-        "configuration, lead 0, warp off) run in float64 (exact-parity mode)",
-        "and float32 (TPU speed mode with internal amplitude normalisation).",
+        "configuration, lead 0, warp off) run in float64 (exact-parity mode,",
+        "no estimation limit) and the BENCHED float32 TPU speed mode",
+        "(internal amplitude normalisation + estimation_limit=300 — the",
+        "exact bench.py configuration the headline speedup rides on).",
         "ARI = adjusted Rand index between the two final hard partitions",
         "(1.0 = identical member sets up to relabeling). Produced by",
         "`tools/validate_f32.py`; artifact `docs/f32_validation.json`.",
@@ -114,6 +117,11 @@ def main():
     ap.add_argument("--records", default=None)
     ap.add_argument("--beats", type=int, default=None,
                     help="cap beats per record (default: full record)")
+    ap.add_argument("--est-limit", type=int, default=300,
+                    help="estimation_limit for the f32 arm — the BENCHED "
+                         "speed mode is f32+est300 (bench.py), so that is "
+                         "the config the validation certifies; 0 disables. "
+                         "The f64 arm always runs exact (no limit).")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", default="docs/f32_validation.json")
     ap.add_argument("--md", default="docs/F32_VALIDATION.md")
@@ -135,25 +143,43 @@ def main():
     from hdpgpc_tpu.data.loader import list_records
     from hdpgpc_tpu.utils.eval import adjusted_rand_index
 
+    est = args.est_limit or None
+    mode = f"f32+est{est}" if est else "f32"
+    # per-record assignment sidecar: lets a changed f32 config reuse the
+    # expensive f64 runs (and recompute ARI) without rerunning them
+    asg_path = os.path.splitext(args.out)[0] + "_assignments.npz"
+    asg = {}
+    if os.path.exists(asg_path):
+        import numpy as _np
+        asg = dict(_np.load(asg_path))
+
     recs = args.records.split(",") if args.records else list_records()
     for rec in recs:
         key = f"{rec}@{args.beats or 'full'}"
-        if key in results:
+        if key in results and results[key].get("f32_mode") == mode:
             print(f"{key}: cached", flush=True)
             continue
+        import numpy as _np
         try:
-            r64, a64 = run_one(rec, args.beats, "float64")
-            r32, a32 = run_one(rec, args.beats, "float32")
+            a64_key = f"{key}:f64"
+            if key in results and a64_key in asg:
+                r64, a64 = results[key]["f64"], asg[a64_key]
+            else:
+                r64, a64 = run_one(rec, args.beats, "float64")
+                asg[a64_key] = _np.asarray(a64, _np.int16)
+            r32, a32 = run_one(rec, args.beats, "float32", est_limit=est)
         except FileNotFoundError:
             continue
         ari = adjusted_rand_index(a64, a32)
         results[key] = {"beats": args.beats or r64["tot"], "f64": r64,
-                        "f32": r32, "ari": round(float(ari), 6)}
+                        "f32": r32, "f32_mode": mode,
+                        "ari": round(float(ari), 6)}
         print(f"rec {rec}: M {r64['M']}->{r32['M']} err {r64['err']}->"
               f"{r32['err']}/{r64['tot']} ARI {ari:.4f} "
-              f"({r64['sec']}s/{r32['sec']}s)", flush=True)
+              f"({r64['sec']}s/{r32['sec']}s) [{mode}]", flush=True)
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1, sort_keys=True)
+        _np.savez_compressed(asg_path, **asg)
     write_md(results, args.md)
 
 
