@@ -698,7 +698,11 @@ class HDPGPC:
     def weight_mean(self, q: np.ndarray, snr: Optional[np.ndarray] = None
                     ) -> np.ndarray:
         """SNR-weighted fusion across leads (GPI_HDP.weight_mean,
-        GPI_HDP.py:685-701)."""
+        GPI_HDP.py:685-701). Accumulates in float64 regardless of the
+        device compute dtype: downstream ELBO sums over thousands of
+        beats in f32 carry ~1e-1 absolute noise at |q|~1e6, enough to
+        flip birth accept/reject comparisons (rec 104 f32 collapse)."""
+        q = np.asarray(q, np.float64)
         if q.ndim > 2:
             w = self.snr_norm if snr is None else self.normalize_snr(snr)
             return np.einsum("ijk,ik->ij", q, w)
@@ -881,8 +885,11 @@ class HDPGPC:
                        verb=None):
         n_points = 1 if one_sample else self.Tb
         sel = resp == 1.0
-        q_bas = float(np.sum(q_w[sel]))
-        elbo_latent = float(np.sum(q_lat_w[sel]))
+        # float64 accumulation regardless of device dtype (see
+        # weight_mean): the birth/realloc accept signal is an O(1)
+        # difference between O(1e6) sums.
+        q_bas = float(np.sum(np.asarray(q_w[sel], np.float64)))
+        elbo_latent = float(np.sum(np.asarray(q_lat_w[sel], np.float64)))
         elbo_lin = sb.elbo_linears(self.glob, resp, respPair, post=post,
                                    one_sample=one_sample) * n_points
         if snr is None:

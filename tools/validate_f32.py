@@ -144,7 +144,9 @@ def main():
     from hdpgpc_tpu.utils.eval import adjusted_rand_index
 
     est = args.est_limit or None
-    mode = f"f32+est{est}" if est else "f32"
+    # acc64 = host ELBO accumulation in f64 (weight_mean/compute_q_elbo);
+    # bumping the tag invalidates f32 arms computed before that fix
+    mode = f"f32+est{est}+acc64" if est else "f32+acc64"
     # per-record assignment sidecar: lets a changed f32 config reuse the
     # expensive f64 runs (and recompute ARI) without rerunning them
     asg_path = os.path.splitext(args.out)[0] + "_assignments.npz"
@@ -174,9 +176,24 @@ def main():
         results[key] = {"beats": args.beats or r64["tot"], "f64": r64,
                         "f32": r32, "f32_mode": mode,
                         "ari": round(float(ari), 6)}
+        if ari < 0.8 and est:
+            # factor the divergence: est-limit config effect (f64 exact
+            # vs f64+est) vs dtype effect (f64+est vs f32+est). The
+            # reference itself behaves differently under an estimation
+            # limit (GPI_HDP.py:90), so only the dtype axis is a
+            # speed-mode fidelity question.
+            r64e, a64e = run_one(rec, args.beats, "float64", est_limit=est)
+            results[key]["f64_est"] = r64e
+            results[key]["ari_est_effect"] = round(
+                float(adjusted_rand_index(a64, a64e)), 6)
+            results[key]["ari_dtype_effect"] = round(
+                float(adjusted_rand_index(a64e, a32)), 6)
         print(f"rec {rec}: M {r64['M']}->{r32['M']} err {r64['err']}->"
               f"{r32['err']}/{r64['tot']} ARI {ari:.4f} "
-              f"({r64['sec']}s/{r32['sec']}s) [{mode}]", flush=True)
+              f"({r64['sec']}s/{r32['sec']}s) [{mode}]"
+              + (f" est_eff={results[key]['ari_est_effect']:.3f}"
+                 f" dtype_eff={results[key]['ari_dtype_effect']:.3f}"
+                 if "ari_est_effect" in results[key] else ""), flush=True)
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1, sort_keys=True)
         _np.savez_compressed(asg_path, **asg)
