@@ -423,6 +423,13 @@ def make_forward_step(T, limit, annealing, dynamic, update_params,
     G0diag, S0diag) with mniw2 the internal/observation posteriors
     stacked on a leading dim of 2; ``inp`` = (y (T,), h in {0,1}).
     """
+    from hdpgpc_tpu.ops.pallas.chol_solve import (fused_spd_solve,
+                                                  pallas_solves_enabled)
+    # Probe at BUILD time (clean trace context): probing lazily inside
+    # the scan body would stage the probe's device computation into the
+    # outer trace and permanently disable the kernel.
+    pallas_ok = T <= 128 and pallas_solves_enabled()
+
     def forward_step(carry, inp):
         (f, P, f_prevF, P_prevF, A, G, C, S, mniw, n,
          noise0, G0diag, S0diag) = carry
@@ -453,10 +460,7 @@ def make_forward_step(T, limit, annealing, dynamic, update_params,
             dmean = jnp.maximum(jnp.mean(jnp.abs(jnp.diagonal(
                 stacked, axis1=1, axis2=2)), axis=1), 1e-30)
             stacked = stacked + (1e-5 * dmean)[:, None, None] * eye
-        from hdpgpc_tpu.ops.pallas.chol_solve import (fused_spd_solve,
-                                                      pallas_solves_enabled)
-        use_pallas = (dtype == jnp.float32 and T <= 128
-                      and pallas_solves_enabled())
+        use_pallas = dtype == jnp.float32 and pallas_ok
         if use_pallas:
             # fused Pallas factor+solve: one kernel for both SPD systems
             # (S_innov^{-1} C P_pred_kal -> K', P_pred^{-1} A P -> J')

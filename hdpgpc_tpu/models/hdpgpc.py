@@ -46,6 +46,22 @@ from hdpgpc_tpu.ops.kernels import KernelParams
 from hdpgpc_tpu.warp.monotone import (build_batch_warp, make_warp_prior,
                                       warp_prior_score)
 
+# process-global compiled-program cache: {program fingerprint: {key:
+# program}}; see HDPGPC.__init__. Keeping jit objects per-instance
+# forces a full re-trace (and a persistent-cache round-trip per
+# program) for every fresh model in the same process.
+_GLOBAL_PROGRAMS: Dict[tuple, dict] = {}
+
+# process-global device-resident data uploads, content-addressed (see
+# _dev_Y): fresh model instances refit over the SAME record tensor.
+_GLOBAL_DEV_DATA: Dict[tuple, jax.Array] = {}
+
+# process-global kernel-hyperparameter fit memo, content-addressed by
+# (x_basis, seed beat, bounds, fit config): the Adam fit is a pure
+# deterministic function of these, so identical requests from fresh
+# model instances (or repeated sweeps) reuse the result.
+_GLOBAL_KERNEL_FITS: Dict[tuple, "KernelParams"] = {}
+
 
 class Cluster:
     """Host-side handle: compiled cluster state + bookkeeping.
@@ -207,7 +223,8 @@ class HDPGPC:
         self.warp = False
         self._y_scale = 1.0     # f32 speed-mode amplitude normalisation
         self._warp_cache: Dict = {}
-        self._kernel_fit_cache: Dict = {}
+        self._kernel_fit_cache = _GLOBAL_KERNEL_FITS
+        self._xb_digest = self._digest(np.asarray(self.x_basis))
         self._x_all: List[np.ndarray] = []     # per-beat time grids
         self._y_all: Optional[np.ndarray] = None  # (T_count, Tb, L)
         self.q_last = None          # (T_count, M, L)
@@ -226,12 +243,20 @@ class HDPGPC:
         from hdpgpc_tpu.utils.metrics import MetricsLog
         self.metrics = MetricsLog()
 
-        # compiled program caches
-        self._refits = {}
+        # compiled program caches — PROCESS-GLOBAL, keyed by the
+        # program fingerprint (everything the builder closures bake
+        # in). Fresh model instances (one per bench run / per record)
+        # would otherwise re-trace and re-compile the whole refit
+        # lattice: build_refit returns new closures, so per-instance
+        # jit objects never share their executable caches.
+        fp = (self.Tb, self.cfg.gp.estimation_limit,
+              self.cfg.gp.annealing, self.cfg.gp.model_type,
+              float(self.cfg.gp.free_deg_mniw),
+              bool(self.cfg.bayesian_params))
+        self._refits = _GLOBAL_PROGRAMS.setdefault(fp, {})
         # per-include_batch refit memo (see _job_key); [hits, misses]
         self._refit_memo: Dict = {}
         self._memo_stats = [0, 0]
-        self._y_dev_cache: Dict = {}
         self._warp_fn_online = None
         self._warp_fn_batch = None
         self._warp_priors = {}
@@ -337,6 +362,17 @@ class HDPGPC:
                                lr=g.kernel_fit_lr, dtype=self.dtype)
         return KernelParams(*(np.float64(v) for v in theta))
 
+    def _fit_key(self, y_seed: np.ndarray) -> tuple:
+        """Content-addressed memo key for a kernel-hyperparameter fit:
+        the fit is a pure function of (x_basis, seed beat, bounds, fit
+        config), so the memo is valid across model instances and
+        datasets (_GLOBAL_KERNEL_FITS)."""
+        g = self.cfg.gp
+        return (self._xb_digest, self._digest(np.asarray(y_seed)),
+                self._def_bound_sigma, g.kernel_fit_pin_lengthscale,
+                g.kernel_fit_iters, g.kernel_fit_iters_inducing,
+                g.kernel_fit_lr, str(self.dtype), g.inducing_points)
+
     def _prefetch_kernel_fits(self, jobs) -> None:
         """Run every kernel fit a refit batch will need as ONE vmapped
         Adam program (fit_kernel_batch) instead of per-job sequential
@@ -354,7 +390,7 @@ class HDPGPC:
             if active.size == 0:
                 continue
             seed = int(active[0])
-            key = (ld, seed, self._def_bound_sigma)
+            key = self._fit_key(Y[seed])
             if key not in self._kernel_fit_cache and key not in need:
                 need[key] = Y[seed]
         if len(need) < 2:
@@ -376,7 +412,7 @@ class HDPGPC:
                           resp_col: np.ndarray) -> Cluster:
         """First-active-sample kernel hyperparameter fit
         (GPI_model.include_weighted_sample -> fit_kernel_params,
-        GPI_model.py:353-365). Cached per (lead, seed index)."""
+        GPI_model.py:353-365). Memoized content-addressed (_fit_key)."""
         if cl.fitted:
             return cl
         active = np.flatnonzero(resp_col > 0.99)
@@ -386,7 +422,7 @@ class HDPGPC:
         import sys as _sys
         _dbg = _os.environ.get("HDPGPC_FIT_DEBUG") == "1"
         seed = int(active[0])
-        key = (ld, seed, self._def_bound_sigma)
+        key = self._fit_key(Y[seed])
         theta = self._kernel_fit_cache.get(key)
         if theta is None:
             _t0 = time.time()
@@ -498,13 +534,13 @@ class HDPGPC:
         off: every cluster's column is the raw lead); shipping ~1 MB
         host->device per call dominates per-call overhead on a
         tunnelled TPU, so uploads are cached by content digest."""
-        key = (self._digest(Y), Y.shape)
-        buf = self._y_dev_cache.get(key)
+        key = (self._digest(Y), Y.shape, str(self.dtype))
+        buf = _GLOBAL_DEV_DATA.get(key)
         if buf is None:
-            if len(self._y_dev_cache) >= 32:
-                self._y_dev_cache.clear()
+            if len(_GLOBAL_DEV_DATA) >= 32:
+                _GLOBAL_DEV_DATA.clear()
             buf = jnp.asarray(Y, self.dtype)
-            self._y_dev_cache[key] = buf
+            _GLOBAL_DEV_DATA[key] = buf
         return buf
 
     def _memo_put(self, key, val):
@@ -2016,7 +2052,7 @@ class HDPGPC:
         # fetch of the scalar n on the latency-bound online path
         if cl.fitted or cl.members.size > 0:
             return cl
-        key = (ld, hash(y.tobytes()), self._def_bound_sigma)
+        key = self._fit_key(y)
         theta = self._kernel_fit_cache.get(key)
         if theta is None:
             theta = self._fit_theta(y)

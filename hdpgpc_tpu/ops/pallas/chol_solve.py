@@ -51,7 +51,13 @@ def _panel_factor(slab, j0):
     rows = jax.lax.broadcasted_iota(jnp.int32, (TP, NB), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (TP, NB), 1)
 
-    def body(k, slab):
+    # NOTE: python-unrolled over the NB pivots, NOT fori_loop/scan: any
+    # structured loop on this Mosaic toolchain carries 64-bit scalars
+    # (fori_loop's i64 index forces i64->i32 conversions that recurse
+    # in _convert_helper; lax.scan's internal counter trips the layout
+    # check `bitwidth_ <= 32`). Unrolled, every index is a constant and
+    # the one-hot masks fold to constant vectors.
+    for k in range(NB):
         piv_row = j0 + k
         # one-hot extractions (no dynamic slicing on the lane axis)
         colv = jnp.sum(jnp.where(cols == k, slab, 0.0), axis=1,
@@ -66,9 +72,7 @@ def _panel_factor(slab, j0):
         slab = slab - lcol @ mult                 # rank-1 trailing update
         # write the finished column k
         slab = jnp.where(cols == k, lcol, slab)
-        return slab
-
-    return jax.lax.fori_loop(0, NB, body, slab)
+    return slab
 
 
 def _inv_lower(Lb):
@@ -77,54 +81,63 @@ def _inv_lower(Lb):
     c = jax.lax.broadcasted_iota(jnp.int32, (NB, NB), 1)
     X = jnp.zeros((NB, NB), Lb.dtype)
 
-    def body(k, X):
+    for k in range(NB):             # python-unrolled (see _panel_factor)
         lrow = jnp.sum(jnp.where(r == k, Lb, 0.0), axis=0,
                        keepdims=True)                       # (1, NB)
         piv = jnp.sum(jnp.where((r == k) & (c == k), Lb, 0.0))
         lrow_strict = jnp.where(c[:1, :] < k, lrow, 0.0)
         ek = jnp.where(c[:1, :] == k, 1.0, 0.0).astype(Lb.dtype)
         newrow = (ek - lrow_strict @ X) / piv               # (1, NB)
-        return jnp.where(r == k, newrow, X)
-
-    return jax.lax.fori_loop(0, NB, body, X)
+        X = jnp.where(r == k, newrow, X)
+    return X
 
 
 def _chol_solve_kernel(a_ref, b_ref, x_ref):
+    # NOTE: no ``.at[].set`` anywhere — Mosaic's lowering of scatter /
+    # masked-write into a full tile is unsupported on this toolchain
+    # (NotImplementedError / lowering recursion); every partial result
+    # is kept as a list of static blocks and concatenated.
     A = a_ref[0]                                            # (TP, TP)
     B = b_ref[0]
-    dtype = A.dtype
 
     # ---- blocked Cholesky (python-unrolled over the 4 panels) ----
-    L = jnp.zeros((TP, TP), dtype)
+    panels = []                                   # (TP, NB) L panels
     for j in range(_NBLK):
         j0 = j * NB
         slab = A[:, j0:j0 + NB]
         if j > 0:
-            # only columns < j0 of L are nonzero, so the full matmul
-            # equals the partial trailing update (MXU)
-            slab = slab - L @ L[j0:j0 + NB, :].T
-        slab = _panel_factor(slab, j0)
-        L = L.at[:, j0:j0 + NB].set(slab)
+            # trailing update with the finished panels (MXU)
+            Ldone = jnp.concatenate(panels, axis=1)        # (TP, j0)
+            slab = slab - Ldone @ Ldone[j0:j0 + NB, :].T
+        panels.append(_panel_factor(slab, j0))
+    L = jnp.concatenate(panels, axis=1)                    # (TP, TP)
 
     # ---- invert the diagonal blocks ----
-    invD = [_inv_lower(L[j * NB:(j + 1) * NB, j * NB:(j + 1) * NB])
+    invD = [_inv_lower(panels[j][j * NB:(j + 1) * NB, :])
             for j in range(_NBLK)]
 
-    # ---- forward substitution: L Y = B ----
-    Y = jnp.zeros((TP, TP), dtype)
+    # ---- forward substitution: L Y = B (block rows in order) ----
+    yrows = []
     for j in range(_NBLK):
         j0 = j * NB
-        Rj = B[j0:j0 + NB, :] - L[j0:j0 + NB, :] @ Y
-        Y = Y.at[j0:j0 + NB, :].set(invD[j] @ Rj)
+        Rj = B[j0:j0 + NB, :]
+        if j > 0:
+            Ydone = jnp.concatenate(yrows, axis=0)         # (j0, TP)
+            Rj = Rj - L[j0:j0 + NB, :j0] @ Ydone
+        yrows.append(invD[j] @ Rj)
 
-    # ---- backward substitution: L' X = Y ----
-    X = jnp.zeros((TP, TP), dtype)
+    # ---- backward substitution: L' X = Y (block rows in reverse) ----
+    xrows: list = [None] * _NBLK
     for j in reversed(range(_NBLK)):
         j0 = j * NB
-        Rj = Y[j0:j0 + NB, :] - L[:, j0:j0 + NB].T @ X
-        X = X.at[j0:j0 + NB, :].set(invD[j].T @ Rj)
+        j1 = j0 + NB
+        Rj = yrows[j]
+        if j < _NBLK - 1:
+            Xdone = jnp.concatenate(xrows[j + 1:], axis=0)  # (TP-j1, TP)
+            Rj = Rj - L[j1:, j0:j1].T @ Xdone
+        xrows[j] = invD[j].T @ Rj
 
-    x_ref[0] = X
+    x_ref[0] = jnp.concatenate(xrows, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -161,7 +174,14 @@ def fused_spd_solve(spd: jax.Array, rhs: jax.Array,
     return X[:, :T, :T]
 
 
-@functools.lru_cache(None)
+_PROBE_RESULT: bool | None = None
+
+
+def _probe_cache_clear() -> None:
+    global _PROBE_RESULT
+    _PROBE_RESULT = None
+
+
 def pallas_solves_enabled() -> bool:
     """Use the fused kernel on the f32 refit path: TPU backend only
     (CPU keeps the XLA lowering), overridable via HDPGPC_PALLAS_SOLVES.
@@ -170,12 +190,27 @@ def pallas_solves_enabled() -> bool:
     numerically smoke-tested against the XLA solve once per process,
     and any Mosaic/runtime failure silently falls back to the XLA
     lowering (a production sweep must never die on a kernel-gate
-    regression)."""
+    regression).
+
+    The probe runs device computation, so it must execute in a CLEAN
+    trace context: called for the first time inside jit tracing (e.g.
+    from a scan body), the probe's own jitted call would be staged into
+    the outer trace and its output would be a tracer. In that case we
+    return False for the current trace WITHOUT caching, so a later
+    eager call (program builders probe eagerly) still enables the
+    kernel."""
+    global _PROBE_RESULT
     env = os.environ.get("HDPGPC_PALLAS_SOLVES")
     if env is not None:
         return env not in ("0", "false", "")
+    if _PROBE_RESULT is not None:
+        return _PROBE_RESULT
+    from jax._src import core as _jcore
+    if not _jcore.trace_state_clean():
+        return False
     try:
         if jax.default_backend() != "tpu":
+            _PROBE_RESULT = False
             return False
         import numpy as _np
         rng = _np.random.default_rng(0)
@@ -193,9 +228,14 @@ def pallas_solves_enabled() -> bool:
             print("hdpgpc_tpu: pallas chol_solve smoke test FAILED "
                   "numerically; falling back to XLA solves",
                   file=_sys.stderr)
+        _PROBE_RESULT = ok
         return ok
     except Exception as e:  # Mosaic compile / runtime failure
         import sys as _sys
         print(f"hdpgpc_tpu: pallas chol_solve unavailable ({e!r}); "
               "falling back to XLA solves", file=_sys.stderr)
+        _PROBE_RESULT = False
         return False
+
+
+pallas_solves_enabled.cache_clear = _probe_cache_clear  # lru_cache-compat
