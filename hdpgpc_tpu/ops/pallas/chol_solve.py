@@ -41,6 +41,16 @@ TP = 128
 _NBLK = TP // NB
 
 
+def _mm(a, b):
+    """f32 matmul. The MXU's DEFAULT precision is bfloat16: a bare
+    ``@`` inside the kernel silently truncates every rank-1 update and
+    substitution to ~8 mantissa bits (measured: L error 1.8e-2 vs the
+    2e-6 of the identical algorithm at f32) — precision=HIGHEST runs
+    the 3-pass bf16 decomposition, recovering full f32."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+
 def _panel_factor(slab, j0):
     """Factor a (TP, NB) panel in place; rows < j0 are zeroed.
 
@@ -69,7 +79,10 @@ def _panel_factor(slab, j0):
         dinv = jax.lax.rsqrt(piv)
         lcol = jnp.where(rows[:, :1] >= piv_row, colv * dinv, 0.0)
         mult = jnp.where(cols[:1, :] > k, rowv * dinv, 0.0)  # (1, NB)
-        slab = slab - lcol @ mult                 # rank-1 trailing update
+        # rank-1 trailing update as a BROADCAST MULTIPLY: (TP,1)*(1,NB)
+        # runs on the VPU at exact f32 — an MXU matmul here would need
+        # the 3-pass HIGHEST mode for the same accuracy at more cost
+        slab = slab - lcol * mult
         # write the finished column k
         slab = jnp.where(cols == k, lcol, slab)
     return slab
@@ -86,8 +99,11 @@ def _inv_lower(Lb):
                        keepdims=True)                       # (1, NB)
         piv = jnp.sum(jnp.where((r == k) & (c == k), Lb, 0.0))
         lrow_strict = jnp.where(c[:1, :] < k, lrow, 0.0)
-        ek = jnp.where(c[:1, :] == k, 1.0, 0.0).astype(Lb.dtype)
-        newrow = (ek - lrow_strict @ X) / piv               # (1, NB)
+        # both branches must be typed: where(cond, 1.0, 0.0) builds an
+        # f64 vector under jax_enable_x64, which Mosaic's vector-layout
+        # pass rejects (bitwidth <= 32)
+        ek = (c[:1, :] == k).astype(Lb.dtype)
+        newrow = (ek - _mm(lrow_strict, X)) / piv           # (1, NB)
         X = jnp.where(r == k, newrow, X)
     return X
 
@@ -108,7 +124,7 @@ def _chol_solve_kernel(a_ref, b_ref, x_ref):
         if j > 0:
             # trailing update with the finished panels (MXU)
             Ldone = jnp.concatenate(panels, axis=1)        # (TP, j0)
-            slab = slab - Ldone @ Ldone[j0:j0 + NB, :].T
+            slab = slab - _mm(Ldone, Ldone[j0:j0 + NB, :].T)
         panels.append(_panel_factor(slab, j0))
     L = jnp.concatenate(panels, axis=1)                    # (TP, TP)
 
@@ -123,8 +139,8 @@ def _chol_solve_kernel(a_ref, b_ref, x_ref):
         Rj = B[j0:j0 + NB, :]
         if j > 0:
             Ydone = jnp.concatenate(yrows, axis=0)         # (j0, TP)
-            Rj = Rj - L[j0:j0 + NB, :j0] @ Ydone
-        yrows.append(invD[j] @ Rj)
+            Rj = Rj - _mm(L[j0:j0 + NB, :j0], Ydone)
+        yrows.append(_mm(invD[j], Rj))
 
     # ---- backward substitution: L' X = Y (block rows in reverse) ----
     xrows: list = [None] * _NBLK
@@ -134,8 +150,8 @@ def _chol_solve_kernel(a_ref, b_ref, x_ref):
         Rj = yrows[j]
         if j < _NBLK - 1:
             Xdone = jnp.concatenate(xrows[j + 1:], axis=0)  # (TP-j1, TP)
-            Rj = Rj - L[j1:, j0:j1].T @ Xdone
-        xrows[j] = invD[j].T @ Rj
+            Rj = Rj - _mm(L[j1:, j0:j1].T, Xdone)
+        xrows[j] = _mm(invD[j].T, Rj)
 
     x_ref[0] = jnp.concatenate(xrows, axis=0)
 
@@ -157,17 +173,20 @@ def fused_spd_solve(spd: jax.Array, rhs: jax.Array,
         pad, dtype=spd.dtype)) if pad else jnp.zeros((TP, TP), spd.dtype)
     A = jnp.pad(spd, ((0, 0), (0, pad), (0, pad))) + eyep
     B = jnp.pad(rhs, ((0, 0), (0, pad), (0, pad)))
+    # NOTE: the literal 0s in the index map MUST be i32: under
+    # jax_enable_x64 a bare Python 0 traces as i64 and Mosaic rejects
+    # the index-map function ("failed to legalize 'func.return'
+    # (i32, i64, i64)").
+    imap = lambda i: (i, jnp.int32(0), jnp.int32(0))
     X = pl.pallas_call(
         _chol_solve_kernel,
         out_shape=jax.ShapeDtypeStruct((n, TP, TP), spd.dtype),
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, TP, TP), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TP, TP), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TP, TP), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TP, TP), imap, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TP, TP), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, TP, TP), imap,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(A, B)
@@ -228,6 +247,40 @@ def pallas_solves_enabled() -> bool:
             print("hdpgpc_tpu: pallas chol_solve smoke test FAILED "
                   "numerically; falling back to XLA solves",
                   file=_sys.stderr)
+        if ok:
+            # profitability check: enable only if the kernel actually
+            # beats the XLA cholesky+cho_solve lowering at a refit-like
+            # batch, measured dispatch-free (20 iterations inside one
+            # jitted scan). On some toolchains the 3-pass HIGHEST
+            # matmuls make the fused kernel slower than XLA — then the
+            # correct production choice is XLA, and HDPGPC_PALLAS_SOLVES
+            # =1 remains the manual override.
+            import time as _time
+            s4 = jnp.asarray(_np.tile(spd, (2, 1, 1)))
+            r4 = jnp.asarray(_np.tile(rhs, (2, 1, 1)))
+
+            def _many(fn):
+                def body(c, _):
+                    return c + 1.0, fn(s4 + 0.0 * c, r4)
+                return jax.jit(lambda: jax.lax.scan(
+                    body, jnp.float32(0), None, length=20)[1])
+
+            def _t(fn):
+                prog = _many(fn)
+                prog().block_until_ready()
+                t0 = _time.time()
+                prog().block_until_ready()
+                return _time.time() - t0
+
+            t_pl = _t(lambda a, b: fused_spd_solve(a, b, interpret=False))
+            t_xla = _t(lambda a, b: jax.scipy.linalg.cho_solve(
+                (jnp.linalg.cholesky(a), True), b))
+            ok = t_pl < t_xla
+            if not ok:
+                import sys as _sys
+                print(f"hdpgpc_tpu: pallas chol_solve correct but slower "
+                      f"than XLA here ({t_pl * 50:.2f} vs {t_xla * 50:.2f} "
+                      "ms/iter); using XLA solves", file=_sys.stderr)
         _PROBE_RESULT = ok
         return ok
     except Exception as e:  # Mosaic compile / runtime failure

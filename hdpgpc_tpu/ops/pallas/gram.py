@@ -37,15 +37,23 @@ def rbf_gram_pallas(x: jax.Array, outputscale, lengthscale, tile: int = 256) -> 
     tile = min(tile, Tp)
     scale = jnp.array([[outputscale, 1.0 / (lengthscale**2)]], dtype=x.dtype)
 
+    # i32 constants in the index maps: under jax_enable_x64 a bare
+    # Python 0 traces as i64 and Mosaic rejects the index-map function
+    # ("failed to legalize 'func.return'"). The cast must be built
+    # INSIDE each lambda — index maps may not capture tracers.
     out = pl.pallas_call(
         _gram_kernel,
         out_shape=jax.ShapeDtypeStruct((Tp, Tp), x.dtype),
         grid=(Tp // tile,),
         in_specs=[
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tp), lambda i: (jnp.int32(0), jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i: (jnp.int32(0), jnp.int32(0)),
+                         memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((tile, Tp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tile, Tp), lambda i: (i, jnp.int32(0)),
+                               memory_space=pltpu.VMEM),
     )(xp.reshape(Tp, 1), xp.reshape(1, Tp), scale)
     return out[:T, :T]
