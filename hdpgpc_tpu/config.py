@@ -56,6 +56,12 @@ class GPConfig:
     # basis by dropping collapsed points).
     inducing_points: bool = False
     kernel_fit_iters_inducing: int = 5000
+    # variational (SVGP) inducing fit — the reference's
+    # VarProjectedGPModel (GPI_models_pytorch.py:37-46): uncollapsed
+    # whitened variational bound, learnable inducing locations and
+    # q(u). Requires inducing_points=True; at the Gaussian-likelihood
+    # optimum it coincides with the SGPR collapsed bound.
+    variational_inducing: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

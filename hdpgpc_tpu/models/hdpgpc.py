@@ -130,6 +130,7 @@ class HDPGPC:
                  max_models: Optional[int] = None,
                  bayesian_params: bool = True,
                  inducing_points: bool = False,
+                 variational_inducing: bool = False,
                  estimation_limit: Optional[int] = None,
                  reestimate_initial_params: bool = False,
                  n_explore_steps: int = 10, free_deg_MNIV: int = 5,
@@ -153,7 +154,8 @@ class HDPGPC:
                 model_type=model_type, annealing=annealing,
                 free_deg_mniw=int(free_deg_MNIV),
                 estimation_limit=estimation_limit,
-                inducing_points=bool(inducing_points))
+                inducing_points=bool(inducing_points),
+                variational_inducing=bool(variational_inducing))
             warp_cfg = WarpConfig(noise_warp=float(noise_warp),
                                   bound_noise_warp=tuple(bound_noise_warp),
                                   mode=mode_warp, method=method_compute_warp)
@@ -349,9 +351,17 @@ class HDPGPC:
         SGPR/ProjectedGPModel path with learnable inducing locations and
         no lengthscale pin (GPI.py:641-770)."""
         g = self.cfg.gp
+        if g.variational_inducing and not g.inducing_points:
+            raise ValueError(
+                "variational_inducing=True requires inducing_points=True "
+                "(the SVGP fit is the variational member of the "
+                "inducing-point family, GPI_models_pytorch.py:37-46)")
         if g.inducing_points:
-            from hdpgpc_tpu.models.kernel_fit import fit_kernel_sgpr
-            theta, _Z = fit_kernel_sgpr(
+            from hdpgpc_tpu.models.kernel_fit import (fit_kernel_sgpr,
+                                                      fit_kernel_svgp)
+            fit_ind = (fit_kernel_svgp if g.variational_inducing
+                       else fit_kernel_sgpr)
+            theta, _Z = fit_ind(
                 self.x_basis, y, self._def_bound_sigma,
                 max_iters=g.kernel_fit_iters_inducing,
                 lr=g.kernel_fit_lr, dtype=self.dtype)
@@ -371,7 +381,8 @@ class HDPGPC:
         return (self._xb_digest, self._digest(np.asarray(y_seed)),
                 self._def_bound_sigma, g.kernel_fit_pin_lengthscale,
                 g.kernel_fit_iters, g.kernel_fit_iters_inducing,
-                g.kernel_fit_lr, str(self.dtype), g.inducing_points)
+                g.kernel_fit_lr, str(self.dtype), g.inducing_points,
+                g.variational_inducing)
 
     def _prefetch_kernel_fits(self, jobs) -> None:
         """Run every kernel fit a refit batch will need as ONE vmapped

@@ -326,6 +326,116 @@ def fit_kernel_sgpr(x_basis, y, bound_sigma: Tuple[float, float],
     return KernelParams(outputscale=s, lengthscale=l, noise=n), Z
 
 
+def _svgp_nelbo(params, x, y):
+    """Negative SVGP evidence lower bound (mean over samples).
+
+    The uncollapsed variational bound of the reference's
+    VarProjectedGPModel (GPI_models_pytorch.py:37-46: ApproximateGP +
+    CholeskyVariationalDistribution + VariationalStrategy with
+    learn_inducing_locations=True), in the whitened parameterisation
+    gpytorch uses by default: q(v) = N(m_v, S_v) with u = Lm v,
+    Lm = chol(Kmm). For a Gaussian likelihood,
+
+      ELBO = sum_n [ log N(y_n | mu_n, s2) - var_n / (2 s2) ]
+             - KL(q(v) || N(0, I)),
+      mu_n  = a_n' m_v + c,     a_n = Lm^{-1} k(Z, x_n)
+      var_n = k_nn - a_n'a_n + a_n' S_v a_n.
+    """
+    raw_s, raw_l, raw_n, c, Z = (params["raw_s"], params["raw_l"],
+                                 params["raw_n"], params["c"], params["Z"])
+    m_v, L_raw = params["m_v"], params["L_raw"]
+    n_lb, n_ub = params["n_lb"], params["n_ub"]
+    s = _softplus(raw_s)
+    l = jnp.maximum(_softplus(raw_l), 1e-6)
+    s2 = n_lb + (n_ub - n_lb) * jax.nn.sigmoid(raw_n)
+    n = x.shape[0]
+    m = Z.shape[0]
+
+    def k(a, b):
+        d2 = (a[:, None] - b[None, :]) ** 2
+        return s * jnp.exp(-jnp.minimum(0.5 * d2 / (l**2), 700.0))
+
+    Kmm = k(Z, Z) + 1e-6 * s * jnp.eye(m, dtype=x.dtype)
+    Lm = jnp.linalg.cholesky(Kmm)
+    A = jax.scipy.linalg.solve_triangular(Lm, k(Z, x), lower=True)  # (m, n)
+    # q(v) scale: lower triangle with softplus-positive diagonal
+    Lv = jnp.tril(L_raw, k=-1) + jnp.diag(_softplus(jnp.diag(L_raw)))
+    mu = A.T @ m_v + c                                          # (n,)
+    AtLv = A.T @ Lv                                             # (n, m)
+    var = s - jnp.sum(A * A, axis=0) + jnp.sum(AtLv * AtLv, axis=1)
+    r = y - mu
+    exp_ll = (-0.5 * jnp.sum(r * r + var) / s2
+              - 0.5 * n * jnp.log(2.0 * jnp.pi * s2))
+    kl = 0.5 * (jnp.sum(Lv * Lv) + jnp.sum(m_v * m_v) - m
+                - jnp.sum(jnp.log(jnp.diag(Lv) ** 2)))
+    return -(exp_ll - kl) / n
+
+
+@functools.partial(precise_jit, static_argnames=("chunk", "lr"))
+def _svgp_fit_chunk(tp, opt_state, buf, i0, n_lb, n_ub, x, y,
+                    chunk: int = _FIT_CHUNK, lr: float = 0.1):
+    opt = optax.adam(lr)
+    fixed = {"n_lb": n_lb, "n_ub": n_ub}
+    grad_fn = jax.value_and_grad(lambda t: _svgp_nelbo({**fixed, **t}, x, y))
+
+    def cond(state):
+        j, i, tp, os, buf, done = state
+        return (~done) & (j < chunk)
+
+    def body(state):
+        j, i, tp, os, buf, _ = state
+        loss, g = grad_fn(tp)
+        updates, os = opt.update(g, os)
+        tp = optax.apply_updates(tp, updates)
+        buf = jnp.roll(buf, -1).at[-1].set(loss)
+        plateau = (i > 1000) & (jnp.abs(jnp.sum(buf[1:] - buf[:-1])) < 1e-4)
+        return (j + 1, i + 1, tp, os, buf, plateau)
+
+    init = (jnp.asarray(0, jnp.int32), i0, tp, opt_state, buf,
+            jnp.asarray(False))
+    _, i, tp, opt_state, buf, done = jax.lax.while_loop(cond, body, init)
+    return tp, opt_state, buf, i, done
+
+
+def fit_kernel_svgp(x_basis, y, bound_sigma: Tuple[float, float],
+                    max_iters: int = 5000, lr: float = 0.1,
+                    dtype=None):
+    """Variational (SVGP) kernel fit — the VarProjectedGPModel path of
+    the reference zoo (GPI_models_pytorch.py:37-46; write-back
+    GPI.py:740-752). Returns (KernelParams, Z_sorted) with the learned
+    lengthscale (no pin) and sorted learned inducing locations, exactly
+    like the SGPR path. At the optimum over q(u) with a Gaussian
+    likelihood this bound collapses to the SGPR bound, so the two fits
+    agree up to optimisation noise — asserted in tests."""
+    x = jnp.asarray(x_basis, dtype).reshape(-1)
+    y = jnp.asarray(y, dtype).reshape(-1)
+    m = x.shape[0]
+    lb = jnp.asarray(bound_sigma[0], x.dtype)
+    ub = jnp.asarray(bound_sigma[1], x.dtype)
+    # m_v/L_raw init: q(v) = N(0, I) (gpytorch CholeskyVariational
+    # Distribution default); softplus-raw diag 0 -> diag ~0.693, close
+    # enough for Adam, matching init variance within a factor of 2
+    tp = {"raw_s": jnp.asarray(0.0, x.dtype),
+          "raw_l": jnp.asarray(0.0, x.dtype),
+          "raw_n": jnp.asarray(0.0, x.dtype), "c": jnp.asarray(0.0, x.dtype),
+          "Z": x.copy(), "m_v": jnp.zeros((m,), x.dtype),
+          "L_raw": jnp.eye(m, dtype=x.dtype) * 0.5413}  # softplus^-1(1)
+    opt_state = optax.adam(lr).init(tp)
+    buf = jnp.zeros((11,), x.dtype)
+    i = jnp.asarray(0, jnp.int32)
+    while int(i) < max_iters:
+        chunk = min(_FIT_CHUNK, max_iters - int(i))
+        tp, opt_state, buf, i, done = _svgp_fit_chunk(
+            tp, opt_state, buf, i, lb, ub, x, y, chunk=chunk, lr=lr)
+        if bool(done):
+            break
+    s = _softplus(tp["raw_s"])
+    l = jnp.maximum(_softplus(tp["raw_l"]), 1e-6)
+    n = lb + (ub - lb) * jax.nn.sigmoid(tp["raw_n"])
+    Z = jnp.sort(tp["Z"])
+    return KernelParams(outputscale=s, lengthscale=l, noise=n), Z
+
+
 def fit_kernel_scipy(x_basis, y, bound_sigma, bounds_lengthscale=(1.0, 20.0),
                      bounds_outputscale=(1e-2, 1e3),
                      n_restarts: int = 0, seed: int = 0) -> KernelParams:

@@ -7,6 +7,7 @@ locations and keeps the learned lengthscale.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -82,3 +83,68 @@ def test_inducing_flag_changes_fit():
     # exact path pins lengthscale (GPI.py:711); SGPR path learns it
     assert float(t_exact.lengthscale) == pytest.approx(1.2)
     assert float(t_ind.lengthscale) != pytest.approx(1.2)
+
+
+def test_svgp_elbo_bounded_by_and_near_sgpr():
+    """The SVGP bound (VarProjectedGPModel path) can never exceed the
+    SGPR collapsed bound at the same hyperparameters/Z — the collapsed
+    bound IS the optimum over q(u) — and a converged q(u) should close
+    most of the gap."""
+    import scipy.optimize
+
+    from hdpgpc_tpu.models.kernel_fit import _svgp_nelbo
+
+    x, y = _beat()
+    base = {
+        "raw_s": jnp.asarray(0.3), "raw_l": jnp.asarray(0.8),
+        "raw_n": jnp.asarray(0.0), "c": jnp.asarray(0.0),
+        "Z": jnp.asarray(x),
+        "n_lb": jnp.asarray(0.05), "n_ub": jnp.asarray(0.2),
+    }
+    sgpr = float(_sgpr_nll(base, jnp.asarray(x), jnp.asarray(y)))
+    m = x.shape[0]
+
+    # optimise ONLY q(u) at fixed hypers: the gap to the collapsed
+    # bound must shrink below 2% of its magnitude
+    import optax as _optax
+    tp = {"m_v": jnp.zeros((m,)), "L_raw": jnp.eye(m) * 0.5413}
+    opt = _optax.adam(0.05)
+    st = opt.init(tp)
+    val = jax.jit(jax.value_and_grad(
+        lambda t: _svgp_nelbo({**base, **t}, jnp.asarray(x),
+                              jnp.asarray(y))))
+    loss0 = float(val(tp)[0])
+    for _ in range(800):
+        loss, g = val(tp)
+        up, st = opt.update(g, st)
+        tp = _optax.apply_updates(tp, up)
+    loss = float(loss)
+    assert loss0 >= sgpr - 1e-9          # bound ordering at init
+    assert loss >= sgpr - 1e-6           # never crosses the optimum
+    assert loss - sgpr < 0.02 * abs(sgpr)  # converges toward it
+
+
+def test_fit_kernel_svgp_agrees_with_sgpr():
+    from hdpgpc_tpu.models.kernel_fit import fit_kernel_svgp
+
+    x, y = _beat(seed=1)
+    th_v, Zv = fit_kernel_svgp(x, y, (1e-4, 10.0), max_iters=2500,
+                               dtype=jnp.float64)
+    th_s, _ = fit_kernel_sgpr(x, y, (1e-4, 10.0), max_iters=1500,
+                              dtype=jnp.float64)
+    assert np.asarray(Zv).shape == x.shape
+    assert np.all(np.diff(np.asarray(Zv)) >= 0)      # sorted write-back
+    # same stationary point family: noise within 50% and outputscale
+    # same order of magnitude (Adam trajectories differ)
+    assert float(th_v.noise) == pytest.approx(float(th_s.noise), rel=0.5)
+    assert 0.2 < float(th_v.outputscale) / float(th_s.outputscale) < 5.0
+
+
+def test_variational_requires_inducing():
+    from hdpgpc_tpu.models.hdpgpc import HDPGPC
+
+    T = 16
+    m = HDPGPC(np.arange(T, dtype=np.float64), n_outputs=1,
+               ini_sigma=0.1, ini_gamma=0.1, variational_inducing=True)
+    with pytest.raises(ValueError, match="inducing_points=True"):
+        m._fit_theta(np.random.default_rng(0).standard_normal(T))
