@@ -163,6 +163,14 @@ def parallel_filter(ys, F, Q, H, R, m0, P0):
     ys: (N, T, 1). Returns filtered means (N, T, 1) and covs (N, T, T).
     Matches the sequential filter to numerical precision; property-tested
     against ``kalman_step`` in tests/test_kalman.py.
+
+    This is the public generic form of the shared associative elements
+    (``_filter_element`` + ``_combine``); the production paths consume
+    specialisations of the same elements: ``parallel_filter_masked``
+    (streaming classifier, models/streaming.py) and the steady-state
+    frozen-tail forms in models/gplds (``_tail_filter``/``_tail_steady``,
+    the est-limit hybrid refit). Its property test doubles as the oracle
+    for those elements.
     """
     N = ys.shape[0]
     first = _filter_element(ys[0], F, Q, H, R, m0=m0, P0=P0)
@@ -218,6 +226,9 @@ def parallel_smooth(F, Q, means, covs):
     """Associative-scan RTS smoother with FIXED params.
 
     means/covs: filtered (N, T, 1)/(N, T, T). Returns smoothed arrays.
+    Public generic form; the production est-limit hybrid uses the
+    anchored specialisation ``models/gplds._tail_smooth`` (same
+    recursion, anchor elements for padding slots).
     """
 
     def element(f, P):
