@@ -460,30 +460,49 @@ def make_forward_step(T, limit, annealing, dynamic, update_params,
             dmean = jnp.maximum(jnp.mean(jnp.abs(jnp.diagonal(
                 stacked, axis1=1, axis2=2)), axis=1), 1e-30)
             stacked = stacked + (1e-5 * dmean)[:, None, None] * eye
+        rhs_list = [C @ P_pred_kal, A @ P]
+        if update_params and dynamic:
+            # --- fold the MNIW row-covariance inversions into the SAME
+            # batched factor+solve: V_int/V_obs are carry state (no data
+            # dependency on this step's Kalman result), so one (4, T, T)
+            # Cholesky group replaces two separate chol+solve kernel
+            # chains — the scan step is launch-latency-bound, not FLOPs-
+            # bound. Jitters are per-matrix exactly as the split form.
+            hp = jnp.float64 if dtype == jnp.float64 else jnp.float32
+            Vm = mniw.row_cov.astype(hp)                   # (2, T, T)
+            eye_h = eye.astype(hp)
+            jit2 = 1e-2 * jnp.maximum(
+                jnp.mean(jnp.abs(jnp.diagonal(mniw.scale, axis1=1, axis2=2)),
+                         axis=1), jnp.finfo(dtype).eps).astype(hp)  # (2,)
+            if dtype == jnp.float32:
+                vj = jnp.maximum(jnp.mean(jnp.abs(jnp.diagonal(
+                    Vm, axis1=1, axis2=2)), axis=1), 1e-30)
+                jit2 = jit2 + 1e-5 * vj
+            V_sym = (0.5 * (Vm + Vm.swapaxes(-1, -2))
+                     + jit2[:, None, None] * eye_h)
+            stacked = jnp.concatenate([stacked, V_sym.astype(dtype)])
+            rhs_list += [eye, eye]
         use_pallas = dtype == jnp.float32 and pallas_ok
+        rhs = jnp.stack(rhs_list)
         if use_pallas:
-            # fused Pallas factor+solve: one kernel for both SPD systems
-            # (S_innov^{-1} C P_pred_kal -> K', P_pred^{-1} A P -> J')
-            rhs = jnp.stack([C @ P_pred_kal, A @ P])
+            # fused Pallas factor+solve: one kernel for all SPD systems
+            # (S_innov^{-1} C P_pred_kal -> K', P_pred^{-1} A P -> J',
+            # V_int^{-1}, V_obs^{-1})
             X = fused_spd_solve(stacked, rhs)
             K = X[0].T
         else:
             facs = jnp.linalg.cholesky(stacked)
             L_S, L_Pp = facs[0], facs[1]
+            X = jax.scipy.linalg.cho_solve((facs, True), rhs)
             # K = P_pred C' S^{-1}
-            K = jax.scipy.linalg.cho_solve(
-                (L_S, True), (P_pred_kal @ C.T).T).T
+            K = X[0].T
         f_up = m + K @ (y[:, None] - y_pred)
         IKC = eye - K @ C
         P_up = IKC @ P_pred_kal @ IKC.T + K @ R @ K.T
 
         if pair_smooth:
             # J = P A' P_pred^{-1}
-            if use_pallas:
-                J = X[1].T
-            else:
-                J = jax.scipy.linalg.cho_solve(
-                    (L_Pp, True), (P @ A.T).T).T
+            J = X[1].T
             f_smp_up = f + J @ (f_up - A @ f)
             P_smp_up = P + J @ (P_up - P_pred_dyn) @ J.T
             has_pair = n >= 1
@@ -501,23 +520,10 @@ def make_forward_step(T, limit, annealing, dynamic, update_params,
             # The row-covariance recursion (rank-1 accumulation + tiny
             # inverse) is intrinsically ill-conditioned, so its solves
             # run in an f64 island even in float32 speed mode.
-            hp = jnp.float64 if dtype == jnp.float64 else jnp.float32
             Y1 = jnp.stack([f_up, y[:, None]]).astype(hp)  # (2, T, 1)
             Y2 = jnp.stack([f_reg, f_up]).astype(hp)
-            Vm = mniw.row_cov.astype(hp)                   # (2, T, T)
-            eye_h = eye.astype(hp)
-            jit2 = 1e-2 * jnp.maximum(
-                jnp.mean(jnp.abs(jnp.diagonal(mniw.scale, axis1=1, axis2=2)),
-                         axis=1), jnp.finfo(dtype).eps).astype(hp)  # (2,)
-            if dtype == jnp.float32:
-                vj = jnp.maximum(jnp.mean(jnp.abs(jnp.diagonal(
-                    Vm, axis1=1, axis2=2)), axis=1), 1e-30)
-                jit2 = jit2 + 1e-5 * vj
-            L_V = jnp.linalg.cholesky(
-                0.5 * (Vm + Vm.swapaxes(-1, -2))
-                + jit2[:, None, None] * eye_h)
-            V_inv = jax.scipy.linalg.cho_solve(
-                (L_V, True), jnp.broadcast_to(eye_h, Vm.shape))
+            # V_int^{-1}/V_obs^{-1} from the merged factor+solve above
+            V_inv = X[2:4].astype(hp)
             S__h = Y2 @ Y2.swapaxes(-1, -2) + V_inv
             S_x = Y1 @ Y2.swapaxes(-1, -2) + mniw.mean.astype(hp) @ V_inv
             S__sym = 0.5 * (S__h + S__h.swapaxes(-1, -2))
@@ -789,26 +795,41 @@ def build_refit(T: int, est_limit: Optional[int] = None,
         eye = jnp.eye(T, dtype=dtype)
         first_member = member_full & (pos == 0)
 
-        # Scoring materialises one (T, T) covariance per sample; chunk it
-        # so the peak footprint stays ~CHUNK*T^2 regardless of N (the
-        # unchunked gather at (N, T, T) x batched jobs can exhaust HBM).
+        # Per-SLOT factorization, per-sample gather: samples sharing a
+        # slot share the covariance, and past the estimation limit every
+        # tail slot carries the SAME frozen S_f — so only
+        # De = min(B, est_limit + 1) distinct matrices exist. Factor
+        # those once (identical input => identical factor, so scores are
+        # unchanged vs the old per-sample form), then each sample only
+        # pays a gathered triangular solve. This was the refit program's
+        # fixed cost: N per-sample Choleskys per call regardless of
+        # member count.
+        De = B if E_int is None else min(B, E_int + 1)
+        Sd = S_seq[:De]
+        Sd = 0.5 * (Sd + Sd.swapaxes(-1, -2))
+        # extra factor slot [De]: the first-member variant of slot 0
+        # (score jitter 1e-2*S0diag, GPI_model first-sample semantics)
+        S0v = Sd[0] + (1e-2 * S0diag) * eye
+        Sd = jnp.concatenate([Sd, S0v[None]])
+        dm = jnp.maximum(
+            jnp.mean(jnp.abs(jnp.diagonal(Sd, axis1=1, axis2=2)), axis=1),
+            jnp.finfo(dtype).eps)
+        L_slots = jnp.linalg.cholesky(
+            Sd + (1e-8 * dm)[:, None, None] * eye)       # (De+1, T, T)
+        fac_idx = jnp.where(first_member, De,
+                            jnp.minimum(gather_slot, De - 1))
+
+        # Chunked so the gathered factors stay ~CHUNK*T^2 regardless of N
         CHUNK = 256
         n_pad = (-N) % CHUNK
+        idx_p = jnp.pad(fac_idx, (0, n_pad))
         slot_p = jnp.pad(gather_slot, (0, n_pad))
-        first_p = jnp.pad(first_member, (0, n_pad))
         Y_p = jnp.pad(Y, ((0, n_pad), (0, 0)))
         mean_all = score_mean  # (B, T)
 
         def score_chunk(args):
-            sl, fm, Yc = args
-            Sg = S_seq[sl]
-            Sg = jnp.where(fm[:, None, None], Sg + (1e-2 * S0diag) * eye,
-                           Sg)
-            Sg = 0.5 * (Sg + Sg.swapaxes(-1, -2))
-            dm = jnp.maximum(
-                jnp.mean(jnp.abs(jnp.diagonal(Sg, axis1=1, axis2=2)),
-                         axis=1), jnp.finfo(dtype).eps)
-            Lg = jnp.linalg.cholesky(Sg + (1e-8 * dm)[:, None, None] * eye)
+            fi, sl, Yc = args
+            Lg = L_slots[fi]
             diff = (Yc - mean_all[sl])[..., None]
             sol = jax.scipy.linalg.solve_triangular(Lg, diff, lower=True)
             return -0.5 * jnp.sum(sol[..., 0] ** 2, axis=1) \
@@ -816,8 +837,8 @@ def build_refit(T: int, est_limit: Optional[int] = None,
 
         nc = (N + n_pad) // CHUNK
         q = jax.lax.map(score_chunk,
-                        (slot_p.reshape(nc, CHUNK),
-                         first_p.reshape(nc, CHUNK),
+                        (idx_p.reshape(nc, CHUNK),
+                         slot_p.reshape(nc, CHUNK),
                          Y_p.reshape(nc, CHUNK, T))).reshape(-1)[:N]
         q = jnp.where(n_members > 0, q, jnp.zeros_like(q))
 
@@ -837,19 +858,30 @@ def build_refit(T: int, est_limit: Optional[int] = None,
             A_j = jnp.where(is_first, A_f[None], A_j)
             G_j = jnp.where(is_first, G_f[None], G_j)
 
+            # Deduped per-slot factors (same structure as the emission
+            # scoring above): slot 0 uses the FINAL (A_f, G_f) and every
+            # slot past the estimation limit carries the frozen pair, so
+            # only De distinct (A, G) exist. Factor/cho_solve those once;
+            # each slot then pays a gathered triangular solve + matmul.
+            Gd = jnp.concatenate([G_f[None], G_seq[1:De]])  # (De, T, T)
+            Ad = jnp.concatenate([A_f[None], A_seq[1:De]])
+            Gd = 0.5 * (Gd + Gd.swapaxes(-1, -2))
+            gd = jnp.maximum(
+                jnp.mean(jnp.abs(jnp.diagonal(Gd, axis1=1, axis2=2)),
+                         axis=1), jnp.finfo(dtype).eps)
+            L2d = jnp.linalg.cholesky(
+                Gd + (1e-8 * gd)[:, None, None] * eye)
+            GAd = jax.vmap(lambda L, Bm: jax.scipy.linalg.cho_solve(
+                (L, True), Bm))(L2d, Ad)
+            idx_lat = jnp.where(slots == 0, 0,
+                                jnp.minimum(slots, De - 1))
+
             def lat_chunk(args):
-                rc, Gc, Ac, Pc = args
-                Gjs = 0.5 * (Gc + Gc.swapaxes(-1, -2))
-                gd = jnp.maximum(
-                    jnp.mean(jnp.abs(jnp.diagonal(Gjs, axis1=1, axis2=2)),
-                             axis=1), jnp.finfo(dtype).eps)
-                L2 = jnp.linalg.cholesky(
-                    Gjs + (1e-8 * gd)[:, None, None] * eye)
-                s2 = jax.scipy.linalg.solve_triangular(L2, rc, lower=True)
+                il, rc, Pc = args
+                s2 = jax.scipy.linalg.solve_triangular(L2d[il], rc,
+                                                       lower=True)
                 mh = jnp.sum(s2[..., 0] ** 2, axis=1)
-                GA = jax.vmap(lambda L, Bm: jax.scipy.linalg.cho_solve(
-                    (L, True), Bm))(L2, Ac)
-                tr = jnp.sum(Ac * (GA @ Pc), axis=(1, 2))
+                tr = jnp.sum(Ad[il] * (GAd[il] @ Pc), axis=(1, 2))
                 return -0.5 * (mh + tr) - 0.5 * T * LOG2PI
 
             resid = lat_cur - A_j @ lat_prev
@@ -862,9 +894,8 @@ def build_refit(T: int, est_limit: Optional[int] = None,
 
             q_lat_slot = jax.lax.map(
                 lat_chunk,
-                (padt(resid).reshape(nb, LCH, T, 1),
-                 padt(G_j).reshape(nb, LCH, T, T),
-                 padt(A_j).reshape(nb, LCH, T, T),
+                (padt(idx_lat).reshape(nb, LCH),
+                 padt(resid).reshape(nb, LCH, T, 1),
                  padt(cov_prev).reshape(nb, LCH, T, T))).reshape(-1)[:B]
             q_lat_slot = jnp.where(member_s & (n_members > 0), q_lat_slot,
                                    jnp.zeros_like(q_lat_slot))
