@@ -872,17 +872,16 @@ class HDPGPC:
         # emulated on TPU); the evidence was computed in f32 upstream, so
         # the hard-argmax decisions see no additional information loss.
         fdt = np.float32 if self.dtype == jnp.float32 else np.float64
-        q_p = np.full((q_w.shape[0], Kp), -np.inf, fdt)
-        q_p[:, :K] = q_w
-        sp = np.full((Kp,), -np.inf, fdt)
+        # ONE packed upload (row 0: startPi, rows [1, Kp]: transPi,
+        # rest: evidence) and one packed fetch: each host<->device
+        # transfer on the tunnelled TPU costs a full round-trip
+        # (~30 ms measured in slow-tunnel states)
+        packed = np.full((q_w.shape[0] + Kp + 1, Kp), -np.inf, fdt)
         spn = np.asarray(startPi)
-        sp[:min(spn.shape[0], Kp)] = spn[:min(spn.shape[0], Kp)]
-        tp = np.full((Kp, Kp), -np.inf, fdt)
-        tp[:K, :K] = self._trans_log_pi_for_K(K)
-        out = hmm_ops.fb_hard(jnp.asarray(sp), jnp.asarray(tp),
-                              jnp.asarray(q_p))
-        # single packed fetch: each separate device->host sync costs a
-        # full tunnel round-trip (~30 ms measured)
+        packed[0, :min(spn.shape[0], Kp)] = spn[:min(spn.shape[0], Kp)]
+        packed[1:K + 1, :K] = self._trans_log_pi_for_K(K)
+        packed[Kp + 1:, :K] = q_w
+        out = hmm_ops.fb_hard_packed(jnp.asarray(packed))
         resp, logresp, respPair, logrespPair = jax.device_get(out)
         return (resp[:, :K], logresp[:, :K], respPair[:, :K, :K],
                 logrespPair[:, :K, :K])

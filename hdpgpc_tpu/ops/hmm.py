@@ -194,6 +194,17 @@ def coupled_pair_log(alpha, beta, trans_log_pi, log_q):
 
 
 @precise_jit
+def fb_hard_packed(packed):
+    """fb_hard on a single packed upload: row 0 = start_log_pi, rows
+    [1, Kp] = trans_log_pi, rows [Kp+1, ...) = log_q. On the tunnelled
+    TPU every host->device transfer costs a full round trip; packing
+    the three arrays (values unchanged) cuts the per-call transfer
+    count to one."""
+    Kp = packed.shape[1]
+    return fb_hard(packed[0], packed[1:Kp + 1], packed[Kp + 1:])
+
+
+@precise_jit
 def fb_hard(start_log_pi, trans_log_pi, log_q):
     """Full pipeline: normalise q -> FB -> hard resp and respPair.
 
