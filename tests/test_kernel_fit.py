@@ -148,3 +148,19 @@ def test_variational_requires_inducing():
                ini_sigma=0.1, ini_gamma=0.1, variational_inducing=True)
     with pytest.raises(ValueError, match="inducing_points=True"):
         m._fit_theta(np.random.default_rng(0).standard_normal(T))
+
+
+def test_gp_zoo_registry_fences_legacy_warp_models():
+    """Round-2 verdict item 9: every reference zoo entry
+    (GPI_models_pytorch.py) either works or fails loudly."""
+    import pytest
+    from hdpgpc_tpu.models.kernel_fit import (GP_MODEL_ZOO, fit_kernel,
+                                              fit_kernel_zoo)
+
+    assert GP_MODEL_ZOO["ExactGPModel"] is fit_kernel
+    for name in ("LinearExactGPModel", "AlignmentGPModel", "AlignGPModel",
+                 "GPMean"):
+        with pytest.raises(NotImplementedError, match="legacy warping_system"):
+            fit_kernel_zoo(name)
+    with pytest.raises(KeyError, match="unknown GP zoo model"):
+        fit_kernel_zoo("NoSuchModel")
