@@ -1109,6 +1109,46 @@ class HDPGPC:
         d = digamma(self.glob.trans_theta)
         return np.exp(d - np.log(np.sum(np.exp(d), axis=1))[:, None])
 
+    def _log_messages(self):
+        """Log-domain forward/backward messages + log pair-posterior
+        over the current fused evidence (helpers for the legacy
+        compute_h / baum_welch surface)."""
+        if self.q_last is None:
+            raise ValueError("no evidence yet: include samples first")
+        q_w = self.weight_mean(self.q_last)
+        q_norm, _ = hmm_ops.row_normalize_log(jnp.asarray(q_w), axis=1)
+        startPi, _ = self._pis(self.M)
+        transPi = jnp.asarray(self._trans_log_pi_for_K(self.M))
+        spn = jnp.asarray(np.asarray(startPi)[:self.M])
+        alpha, _ = hmm_ops.forward(spn, transPi, q_norm)
+        beta = hmm_ops.backward(transPi, q_norm)
+        log_alpha = jnp.log(alpha)
+        log_beta = jnp.log(beta)
+        log_psi = hmm_ops.coupled_pair_log(alpha, beta, transPi, q_norm)
+        return log_alpha, log_beta, log_psi
+
+    def compute_h(self, time: Optional[int] = None) -> np.ndarray:
+        """Posterior state log-marginals h (GPI_HDP.compute_h,
+        GPI_HDP.py:3824-3862): responsibility of each cluster for each
+        beat under the current HMM, before the hard argmax. ``time``
+        selects a single row as in the reference."""
+        log_alpha, log_beta, _ = self._log_messages()
+        h = np.asarray(hmm_ops.posterior_log_marginals(log_alpha, log_beta))
+        return h if time is None else h[time]
+
+    def baum_welch(self):
+        """Legacy ML re-estimation of (pi, trans) via Baum-Welch
+        (GPI_HDP.baum_welch, GPI_HDP.py:3864-3931). With
+        ``hmm_switch=False`` returns the current pis unchanged, as the
+        reference does (:3930-3931). See ops/hmm.baum_welch for the
+        ported quirks (psi summation range, normalize_log heuristic)."""
+        if not self.cfg.hmm_switch:
+            startPi, transPi = self._pis(self.M)
+            return (np.asarray(startPi)[:self.M],
+                    self._trans_log_pi_for_K(self.M))
+        log_alpha, log_beta, log_psi = self._log_messages()
+        return hmm_ops.baum_welch(log_alpha, log_beta, log_psi)
+
     # ------------------------------------------------------------------
     # Persistence (save_swgp, GPI_HDP.py:3946-3950)
     # ------------------------------------------------------------------

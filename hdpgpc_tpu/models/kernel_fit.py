@@ -485,16 +485,25 @@ def fit_kernel_scipy(x_basis, y, bound_sigma, bounds_lengthscale=(1.0, 20.0),
 # GP model zoo registry (reference: GPI_models_pytorch.py).
 #
 # Every kernel-fit mode a user of the reference could reach is either
-# implemented here or fails LOUDLY with the reason. The three fenced
-# entries are consumed only by the reference's legacy `warping_system.py`
-# (warping_system.py:101,:292), which this framework deliberately does
-# not mirror (superseded in the reference itself by the AMTGP warp —
-# see README "Scope notes"); fencing keeps that divergence explicit
-# instead of silent (round-2 verdict item 9).
+# implemented here or fails LOUDLY with the reason. Of the fenced
+# entries, LinearExactGPModel and AlignmentGPModel are consumed only by
+# the reference's legacy `warping_system.py` (warping_system.py:101,
+# :292), which this framework deliberately does not mirror (superseded
+# in the reference itself by the AMTGP warp — see README "Scope
+# notes"); AlignGPModel and GPMean are dead code in the reference
+# (defined in GPI_models_pytorch.py but referenced nowhere else).
+# Fencing keeps those divergences explicit instead of silent
+# (round-2 verdict item 9).
 # ---------------------------------------------------------------------------
 
-def _legacy_warp_only(name: str, ref_lines: str):
+def _legacy_warp_only(name: str, ref_lines: str, dead_code: bool = False):
     def _raise(*_a, **_k):
+        if dead_code:
+            raise NotImplementedError(
+                f"{name} ({ref_lines}) is dead code in the reference — "
+                "defined in GPI_models_pytorch.py but consumed by nothing. "
+                "hdpgpc_tpu deliberately does not mirror it."
+            )
         raise NotImplementedError(
             f"{name} ({ref_lines}) is only consumed by the reference's "
             "legacy warping_system.py, which hdpgpc_tpu deliberately does "
@@ -516,9 +525,9 @@ GP_MODEL_ZOO = {
     "AlignmentGPModel": _legacy_warp_only(
         "AlignmentGPModel", "GPI_models_pytorch.py:63-88"),
     "AlignGPModel": _legacy_warp_only(
-        "AlignGPModel", "GPI_models_pytorch.py:90-115"),
+        "AlignGPModel", "GPI_models_pytorch.py:89-114", dead_code=True),
     "GPMean": _legacy_warp_only(
-        "GPMean", "GPI_models_pytorch.py:117-131"),
+        "GPMean", "GPI_models_pytorch.py:115-131", dead_code=True),
 }
 
 
@@ -526,9 +535,15 @@ def fit_kernel_zoo(model_name: str, *args, **kwargs):
     """Dispatch a kernel fit by the reference's model-zoo class name.
 
     Implemented entries run the corresponding TPU-native fit; entries
-    only reachable through the reference's legacy warp raise
-    NotImplementedError with the reason and the supported alternative.
-    Unknown names raise KeyError listing the zoo.
+    only reachable through the reference's legacy warp (or dead in the
+    reference) raise NotImplementedError with the reason and the
+    supported alternative. Unknown names raise KeyError listing the zoo.
+
+    Return shape varies per entry (it mirrors each fit's native API):
+    ``ExactGPModel`` -> ``KernelParams``; ``ProjectedGPModel`` and
+    ``VarProjectedGPModel`` -> ``(KernelParams, Z)`` where ``Z`` is the
+    learned inducing-point locations. Callers dispatching uniformly
+    over the zoo should unpack by name.
     """
     try:
         fn = GP_MODEL_ZOO[model_name]

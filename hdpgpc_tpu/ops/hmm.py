@@ -228,6 +228,75 @@ def fb_hard(start_log_pi, trans_log_pi, log_q):
     return hard_resp(logresp), logresp, hard_resp_pair(logrespPair), logrespPair
 
 
+def posterior_log_marginals(log_alpha, log_beta):
+    """Per-step posterior state log-marginals h (compute_h,
+    GPI_HDP.py:3824-3862).
+
+    ``h[t, i] = log_alpha[t, i] + log_beta[t, i] - logsumexp_i(...)``.
+    The reference loops t and i with pairwise ``logaddexp``; this is the
+    same reduction vectorised. Note the reference's *default* call path
+    (``alpha=self.forward()``) is broken legacy code — ``forward``
+    returns a ``(fmsg, marg)`` tuple of probability-domain messages,
+    which ``compute_h`` would crash on / misinterpret as log-domain —
+    so this port takes explicit log-domain messages, the only
+    well-defined contract.
+    """
+    s = log_alpha + log_beta
+    return s - jax.scipy.special.logsumexp(s, axis=1, keepdims=True)
+
+
+def normalize_log_quirk(x: "jnp.ndarray") -> "jnp.ndarray":
+    """The reference's heuristic log-row normaliser (normalize_log,
+    GPI_HDP.py:4066-4083) — NOT logsumexp: it rescales |x| by its max,
+    flips it into [0, 1] weights, floors exact zeros at 1e-50, and
+    returns log of the weight simplex. Reproduced literally (host
+    numpy; tiny K-vector)."""
+    import numpy as np
+    x = np.asarray(x, dtype=np.float64).ravel()
+    bound = 1e-50
+    if np.max(x) == -np.inf:
+        return np.repeat(np.log(bound), x.size)
+    if not np.isclose(np.max(x), 0):
+        aux = np.abs(x) / np.max(np.abs(x))
+        aux = -aux + np.ones(aux.size)
+        aux = np.array([bound if a == 0 else a for a in aux])
+        return np.log(aux / np.sum(aux))
+    out = np.repeat(np.log(bound), x.size)
+    out[int(np.argmax(x))] = 0.0
+    return out
+
+
+def baum_welch(log_alpha, log_beta, log_psi):
+    """Classic Baum-Welch (Rabiner) HMM re-estimation from log messages
+    (GPI_HDP.baum_welch, GPI_HDP.py:3864-3931).
+
+    ``log_psi`` is the (T, K, K) log pair-posterior from
+    :func:`coupled_pair_log` (row 0 is -inf padding, as in the
+    reference's coupled_state_coef). Returns ``(log_pi, log_trans)``:
+
+    * ``log_pi = h[0]`` — the first posterior state log-marginal;
+    * ``log_trans[i, j] = logsumexp_t psi[t, i, j] -
+      logsumexp_{t, j} psi[t, i, j]`` over ``t in [0, T-1)`` — the
+      reference's exact summation range, which (because psi row 0 is
+      -inf and rows are (t-1 -> t) pairs) covers transitions
+      0->1 .. T-3->T-2, dropping the final one: a reference quirk kept
+      for parity;
+    * each row then passes through the reference's heuristic
+      :func:`normalize_log_quirk` (GPI_HDP.py:3925-3927).
+    """
+    import numpy as np
+    h = posterior_log_marginals(log_alpha, log_beta)
+    log_pi = np.asarray(h[0])
+    psi = np.asarray(log_psi)[:-1]                  # t in range(T-1)
+    with np.errstate(divide="ignore"):
+        num = jax.scipy.special.logsumexp(psi, axis=0)      # (K, K)
+        den = jax.scipy.special.logsumexp(psi, axis=(0, 2))  # (K,)
+    trans = np.asarray(num) - np.asarray(den)[:, None]
+    trans = np.where(np.isneginf(np.asarray(num)), -np.inf, trans)
+    trans = np.stack([normalize_log_quirk(row) for row in trans])
+    return log_pi, trans
+
+
 def entropy_terms(resp, respPair, eps=1e-30):
     """H[q] nonlinear ELBO terms (GPI_HDP.py:2682-2700)."""
     Hstart = -jnp.sum(resp * jnp.log(resp + eps), axis=0)

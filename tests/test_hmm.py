@@ -134,6 +134,66 @@ def test_forward_incremental_matches_full():
     np.testing.assert_allclose(float(m_inc), float(m_full[-1]), rtol=1e-10)
 
 
+def _np_baum_welch(log_alpha, log_beta, log_psi):
+    """Independent numpy oracle for the reference's baum_welch math
+    (GPI_HDP.py:3864-3931): pairwise logaddexp loops over t/i/j,
+    exactly the reference's summation structure."""
+    T, K = log_alpha.shape
+    h = np.zeros((T, K))
+    for t in range(T):
+        den = -np.inf
+        for i in range(K):
+            den = np.logaddexp(den, log_alpha[t, i] + log_beta[t, i])
+        h[t] = log_alpha[t] + log_beta[t] - den
+    pi_ = h[0]
+    trans = np.zeros((K, K))
+    for i in range(K):
+        den = -np.inf
+        for t in range(T - 1):
+            for j in range(K):
+                den = np.logaddexp(den, log_psi[t][i, j])
+        for j in range(K):
+            num = -np.inf
+            for t in range(T - 1):
+                num = np.logaddexp(num, log_psi[t][i, j])
+            trans[i, j] = -np.inf if num == -np.inf else num - den
+        trans[i] = hmm.normalize_log_quirk(trans[i])
+    return pi_, trans
+
+
+def test_baum_welch_matches_reference_loops():
+    s, t, q = _rand_inputs(T=25, K=4, seed=11)
+    qn = q - q.max(axis=1, keepdims=True)
+    alpha, _ = hmm.forward(jnp.asarray(s), jnp.asarray(t), jnp.asarray(qn))
+    beta = hmm.backward(jnp.asarray(t), jnp.asarray(qn))
+    la = np.log(np.asarray(alpha))
+    lb = np.log(np.asarray(beta))
+    lpsi = np.asarray(hmm.coupled_pair_log(alpha, beta, jnp.asarray(t),
+                                           jnp.asarray(qn)))
+    pi_o, tr_o = _np_baum_welch(la, lb, lpsi)
+    pi_g, tr_g = hmm.baum_welch(jnp.asarray(la), jnp.asarray(lb),
+                                jnp.asarray(lpsi))
+    np.testing.assert_allclose(np.asarray(pi_g), pi_o, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(tr_g), tr_o, rtol=1e-10)
+    # re-estimated rows are normalised distributions in the quirk's sense
+    assert np.all(np.isfinite(np.exp(tr_g).sum(axis=1)))
+
+
+def test_normalize_log_quirk_cases():
+    # all -inf row -> uniform log(1e-50)
+    out = hmm.normalize_log_quirk(np.array([-np.inf, -np.inf]))
+    np.testing.assert_allclose(out, np.log(1e-50))
+    # max == 0 row -> one-hot at argmax in log space
+    out = hmm.normalize_log_quirk(np.array([0.0, -3.0, -1.0]))
+    assert out[0] == 0.0 and np.all(out[1:] == np.log(1e-50))
+    # generic row -> proper simplex of flipped-|x| weights
+    x = np.array([-1.0, -2.0, -4.0])
+    out = hmm.normalize_log_quirk(x)
+    w = np.exp(out)
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-12)
+    assert w[0] > w[1] > w[2]
+
+
 def test_entropy_nonnegative():
     rng = np.random.default_rng(4)
     N, K = 25, 3

@@ -158,9 +158,13 @@ def test_gp_zoo_registry_fences_legacy_warp_models():
                                               fit_kernel_zoo)
 
     assert GP_MODEL_ZOO["ExactGPModel"] is fit_kernel
-    for name in ("LinearExactGPModel", "AlignmentGPModel", "AlignGPModel",
-                 "GPMean"):
+    for name in ("LinearExactGPModel", "AlignmentGPModel"):
         with pytest.raises(NotImplementedError, match="legacy warping_system"):
+            fit_kernel_zoo(name)
+    # AlignGPModel / GPMean are dead code in the reference (defined but
+    # consumed by nothing) — fenced with that reason (ADVICE r3)
+    for name in ("AlignGPModel", "GPMean"):
+        with pytest.raises(NotImplementedError, match="dead code"):
             fit_kernel_zoo(name)
     with pytest.raises(KeyError, match="unknown GP zoo model"):
         fit_kernel_zoo("NoSuchModel")

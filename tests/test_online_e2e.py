@@ -121,3 +121,33 @@ def test_save_load_swgp_roundtrip(tmp_path):
     q1, r1, _ = m.include_sample(x, y[0], with_warp=False, classify=True)
     q2, r2, _ = m2.include_sample(x, y[0], with_warp=False, classify=True)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2))
+
+
+def test_compute_h_and_baum_welch_surface():
+    """Model-level compute_h / baum_welch (GPI_HDP.py:3824-3931): legacy
+    ML surfaces must run on a live model and return well-formed
+    log-domain quantities."""
+    from hdpgpc_tpu.models.hdpgpc import HDPGPC
+    T, N = 16, 8
+    y, _ = synthetic_beats(N, T=T, n_clusters=2, noise=0.03, seed=9)
+    std, std_dif, bs, bg = compute_estimators_lds(y)
+    m = HDPGPC(default_x_basis(T), n_outputs=1, ini_gamma=std_dif,
+               ini_sigma=std, ini_outputscale=10.0, bound_sigma=bs,
+               bound_gamma=bg)
+    m.cfg = dataclasses.replace(
+        m.cfg, gp=dataclasses.replace(m.cfg.gp, kernel_fit_iters=50))
+    x = np.arange(T, dtype=np.float64)
+    for i in range(N):
+        m.include_sample(x, y[i], with_warp=False)
+    h = m.compute_h()
+    assert h.shape == (N, m.M)
+    # rows are normalized posteriors in log space
+    np.testing.assert_allclose(np.exp(h).sum(axis=1), 1.0, rtol=1e-8)
+    np.testing.assert_allclose(m.compute_h(time=2), h[2])
+    pi_, trans = m.baum_welch()
+    assert pi_.shape == (m.M,) and trans.shape == (m.M, m.M)
+    assert np.all(np.exp(np.asarray(trans)).sum(axis=1) <= 1.0 + 1e-9)
+    # hmm_switch=False: reference returns current pis unchanged (:3930)
+    m.cfg = dataclasses.replace(m.cfg, hmm_switch=False)
+    pi0, tr0 = m.baum_welch()
+    assert pi0.shape == (m.M,) and tr0.shape == (m.M, m.M)

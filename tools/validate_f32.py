@@ -1,22 +1,33 @@
 """f32 speed-mode structural validation across the bundled MIT-BIH records.
 
-VERDICT r2 weakness #3: the float32 speed mode (internal amplitude
-normalisation, compute_dtype="float32") was quality-gated only by the
-rec-100 classification error. This tool quantifies its *structural*
+VERDICT r2 weakness #3 / r3 ask #1: the float32 speed mode (internal
+amplitude normalisation, compute_dtype="float32") is quality-gated by
+the rec-100 classification error; this tool quantifies its *structural*
 fidelity against the float64 exact-parity mode on every bundled record:
 per record it runs the offline VI sweep (reference test_offline.py
 configuration, warp off — GPI_HDP.py:805 semantics) in both dtypes and
 reports cluster count, classification error, and the adjusted Rand
 index between the two hard partitions.
 
-Resumable: results accumulate in a JSON artifact (one entry per
-(record, beats) pair); already-validated records are skipped, so a
-dropped TPU tunnel only costs the in-flight record. The committed
-table lives at docs/F32_VALIDATION.md (--write-md).
+The two arms can run as SEPARATE PROCESSES on separate platforms (the
+f64 exact arm is faster on the host CPU than on a v5e, which has no
+native f64; the f32 arm is TPU-bound), each writing its own artifact:
 
-Usage:
-  python tools/validate_f32.py [--records 100,119] [--beats N]
-      [--platform cpu] [--out docs/f32_validation.json] [--write-md]
+  python tools/validate_f32.py --arm f64 --platform cpu   # background
+  python tools/validate_f32.py --arm f32                  # on TPU
+  python tools/validate_f32.py --merge                    # combine + md
+
+Each arm is resumable (one JSON entry + assignment sidecar per record,
+written atomically per record), so a dropped TPU tunnel only costs the
+in-flight record. ``--merge`` folds the arms plus the legacy combined
+artifact into docs/f32_validation.json, computes ARIs, runs any
+missing divergence-factoring f64+est arms for ARI<0.8 records, and
+regenerates docs/F32_VALIDATION.md. The per-record f64 sweep table
+(docs/RESULTS_ALL_RECORDS.md) is generated from the same combined
+artifact by tools/gen_results_table.py.
+
+Legacy single-process mode (no --arm/--merge) still runs both arms
+inline, as in round 3.
 """
 
 import argparse
@@ -25,9 +36,43 @@ import io
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _atomic_json(path, obj):
+    d = os.path.dirname(os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _atomic_npz(path, arrays):
+    import numpy as np
+    d = os.path.dirname(os.path.abspath(path))
+    # suffix .npz so numpy writes to the temp name itself (it appends
+    # .npz to any other name, which would leave the mkstemp stub behind)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz")
+    os.close(fd)
+    np.savez_compressed(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+def _load_json(path):
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def _load_npz(path):
+    if os.path.exists(path):
+        import numpy as np
+        return dict(np.load(path))
+    return {}
 
 
 def assignments(model):
@@ -64,8 +109,10 @@ def run_one(rec, beats, dtype, est_limit=None):
     with contextlib.redirect_stdout(io.StringIO()):
         m.include_batch(x, data, with_warp=False)
     err, tot = classification_error(m, labels, 0)
+    import jax
     return {"M": int(m.M), "err": int(err), "tot": int(tot),
-            "sec": round(time.time() - t0, 1)}, assignments(m)
+            "sec": round(time.time() - t0, 1),
+            "platform": jax.default_backend()}, assignments(m)
 
 
 def write_md(results, path):
@@ -95,6 +142,8 @@ def write_md(results, path):
     ari_sum = 0.0
     err64 = err32 = tot = 0
     for key, r in rows:
+        if "f64" not in r or "f32" not in r or "ari" not in r:
+            continue
         rec = key.split("@")[0]
         ee = (f"{r['ari_est_effect']:.3f}" if "ari_est_effect" in r
               else "—")
@@ -123,15 +172,141 @@ def write_md(results, path):
         if dtype_effs:
             lines += [
                 "",
-                f"Of the {len(dtype_effs)} records with ARI < 0.8, the "
+                f"Across the {len(dtype_effs)} records with ARI < 0.8, the "
                 f"mean pure-dtype agreement (f64+est vs f32+est) is "
-                f"{sum(dtype_effs) / len(dtype_effs):.4f} — the residual "
-                "divergence is dominated by the est-limit config, not "
-                "float32.",
+                f"{sum(dtype_effs) / len(dtype_effs):.4f}; the remaining "
+                "divergence is the est-limit config effect, which the "
+                "reference exhibits under the same knob.",
             ]
+        missing = 42 - n
+        if missing > 0:
+            lines += ["", f"({missing} records pending — the artifact is "
+                          "regenerated as runs complete.)"]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"wrote {path}")
+    print(f"wrote {path} ({n} records)")
+
+
+def arm_paths(arm, base_out):
+    stem = os.path.join(os.path.dirname(base_out), f"arm_{arm}")
+    return stem + ".json", stem + "_assignments.npz"
+
+
+def run_arm(arm, args, mode, est):
+    """Run one dtype arm over all records, resumable, own artifacts."""
+    import numpy as np
+    from hdpgpc_tpu.data.loader import list_records
+
+    out, asg_path = arm_paths(arm, args.out)
+    results = _load_json(out)
+    asg = _load_npz(asg_path)
+    # seed from the legacy combined artifact so round-3 runs are reused
+    combined = _load_json(args.out)
+    comb_asg = _load_npz(os.path.splitext(args.out)[0] + "_assignments.npz")
+
+    recs = args.records.split(",") if args.records else list_records()
+    for rec in recs:
+        key = f"{rec}@{args.beats or 'full'}"
+        akey = f"{key}:{arm}"
+        if arm == "f64":
+            done = key in results and akey in asg
+            cached = key in combined and akey in comb_asg
+        else:
+            done = (key in results and akey in asg
+                    and results[key].get("f32_mode") == mode)
+            cached = (key in combined and akey in comb_asg
+                      and combined[key].get("f32_mode") == mode)
+        if done:
+            print(f"{key}: done", flush=True)
+            continue
+        if cached:
+            results[key] = {k: v for k, v in combined[key].items()
+                            if k in (arm, "beats", "f32_mode")}
+            asg[akey] = comb_asg[akey]
+            _atomic_json(out, results)
+            _atomic_npz(asg_path, asg)
+            print(f"{key}: imported from combined artifact", flush=True)
+            continue
+        try:
+            if arm == "f64":
+                r, a = run_one(rec, args.beats, "float64")
+                entry = {"beats": args.beats or r["tot"], "f64": r}
+            else:
+                r, a = run_one(rec, args.beats, "float32", est_limit=est)
+                entry = {"beats": args.beats or r["tot"], "f32": r,
+                         "f32_mode": mode}
+        except FileNotFoundError:
+            continue
+        results[key] = entry
+        asg[akey] = np.asarray(a, np.int16)
+        _atomic_json(out, results)
+        _atomic_npz(asg_path, asg)
+        print(f"[{arm}] rec {rec}: M {r['M']} err {r['err']}/{r['tot']} "
+              f"({r['sec']}s, {r['platform']})", flush=True)
+
+
+def merge(args, mode, est, factor=True):
+    """Fold arm artifacts (+ legacy combined) into the canonical
+    combined artifact, compute ARIs, run missing divergence-factoring
+    f64+est arms, regenerate the markdown tables."""
+    import numpy as np
+    from hdpgpc_tpu.utils.eval import adjusted_rand_index
+
+    combined = _load_json(args.out)
+    comb_asg_path = os.path.splitext(args.out)[0] + "_assignments.npz"
+    comb_asg = _load_npz(comb_asg_path)
+
+    for arm in ("f64", "f32"):
+        out, asg_path = arm_paths(arm, args.out)
+        res = _load_json(out)
+        asg = _load_npz(asg_path)
+        for key, entry in res.items():
+            akey = f"{key}:{arm}"
+            if arm not in entry or akey not in asg:
+                continue
+            cur = combined.setdefault(key, {})
+            if arm == "f32" and cur.get("f32_mode") not in (None, mode):
+                # stale f32 data from an older mode: drop its ARI fields
+                for k in ("f32", "ari", "ari_est_effect",
+                          "ari_dtype_effect", "f64_est"):
+                    cur.pop(k, None)
+            cur.setdefault("beats", entry["beats"])
+            cur[arm] = entry[arm]
+            if arm == "f32":
+                cur["f32_mode"] = entry["f32_mode"]
+            comb_asg[akey] = asg[akey]
+
+    for key, r in sorted(combined.items()):
+        a64k, a32k = f"{key}:f64", f"{key}:f32"
+        if not ("f64" in r and "f32" in r
+                and a64k in comb_asg and a32k in comb_asg):
+            continue
+        if r.get("f32_mode") != mode:
+            continue
+        a64 = comb_asg[a64k]
+        a32 = comb_asg[a32k]
+        r["ari"] = round(float(adjusted_rand_index(a64, a32)), 6)
+        if r["ari"] < 0.8 and est and factor and "ari_dtype_effect" not in r:
+            # factor the divergence: est-limit config effect (f64 exact
+            # vs f64+est) vs dtype effect (f64+est vs f32+est). The
+            # reference itself behaves differently under an estimation
+            # limit (GPI_HDP.py:90), so only the dtype axis is a
+            # speed-mode fidelity question.
+            rec = key.split("@")[0]
+            print(f"{key}: ARI {r['ari']:.3f} < 0.8 — running f64+est{est} "
+                  "factoring arm", flush=True)
+            r64e, a64e = run_one(rec, args.beats, "float64", est_limit=est)
+            r["f64_est"] = r64e
+            r["ari_est_effect"] = round(
+                float(adjusted_rand_index(a64, a64e)), 6)
+            r["ari_dtype_effect"] = round(
+                float(adjusted_rand_index(a64e, a32)), 6)
+            comb_asg[f"{key}:f64est"] = np.asarray(a64e, np.int16)
+            _atomic_json(args.out, combined)
+            _atomic_npz(comb_asg_path, comb_asg)
+    _atomic_json(args.out, combined)
+    _atomic_npz(comb_asg_path, comb_asg)
+    write_md(combined, args.md)
 
 
 def main():
@@ -145,6 +320,14 @@ def main():
                          "the config the validation certifies; 0 disables. "
                          "The f64 arm always runs exact (no limit).")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--arm", choices=["f64", "f32"], default=None,
+                    help="run only this dtype arm (own artifact; safe to "
+                         "run both arms as concurrent processes)")
+    ap.add_argument("--merge", action="store_true",
+                    help="fold arm artifacts into the combined artifact, "
+                         "compute ARIs + factoring arms, write markdown")
+    ap.add_argument("--no-factor", action="store_true",
+                    help="with --merge: skip the f64+est factoring runs")
     ap.add_argument("--out", default="docs/f32_validation.json")
     ap.add_argument("--md", default="docs/F32_VALIDATION.md")
     ap.add_argument("--write-md", action="store_true",
@@ -154,72 +337,25 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
 
-    results = {}
-    if os.path.exists(args.out):
-        with open(args.out) as f:
-            results = json.load(f)
-    if args.write_md:
-        write_md(results, args.md)
-        return
-
-    from hdpgpc_tpu.data.loader import list_records
-    from hdpgpc_tpu.utils.eval import adjusted_rand_index
-
     est = args.est_limit or None
     # acc64 = host ELBO accumulation in f64 (weight_mean/compute_q_elbo);
     # bumping the tag invalidates f32 arms computed before that fix
     mode = f"f32+est{est}+acc64" if est else "f32+acc64"
-    # per-record assignment sidecar: lets a changed f32 config reuse the
-    # expensive f64 runs (and recompute ARI) without rerunning them
-    asg_path = os.path.splitext(args.out)[0] + "_assignments.npz"
-    asg = {}
-    if os.path.exists(asg_path):
-        import numpy as _np
-        asg = dict(_np.load(asg_path))
 
-    recs = args.records.split(",") if args.records else list_records()
-    for rec in recs:
-        key = f"{rec}@{args.beats or 'full'}"
-        if key in results and results[key].get("f32_mode") == mode:
-            print(f"{key}: cached", flush=True)
-            continue
-        import numpy as _np
-        try:
-            a64_key = f"{key}:f64"
-            if key in results and a64_key in asg:
-                r64, a64 = results[key]["f64"], asg[a64_key]
-            else:
-                r64, a64 = run_one(rec, args.beats, "float64")
-                asg[a64_key] = _np.asarray(a64, _np.int16)
-            r32, a32 = run_one(rec, args.beats, "float32", est_limit=est)
-        except FileNotFoundError:
-            continue
-        ari = adjusted_rand_index(a64, a32)
-        results[key] = {"beats": args.beats or r64["tot"], "f64": r64,
-                        "f32": r32, "f32_mode": mode,
-                        "ari": round(float(ari), 6)}
-        if ari < 0.8 and est:
-            # factor the divergence: est-limit config effect (f64 exact
-            # vs f64+est) vs dtype effect (f64+est vs f32+est). The
-            # reference itself behaves differently under an estimation
-            # limit (GPI_HDP.py:90), so only the dtype axis is a
-            # speed-mode fidelity question.
-            r64e, a64e = run_one(rec, args.beats, "float64", est_limit=est)
-            results[key]["f64_est"] = r64e
-            results[key]["ari_est_effect"] = round(
-                float(adjusted_rand_index(a64, a64e)), 6)
-            results[key]["ari_dtype_effect"] = round(
-                float(adjusted_rand_index(a64e, a32)), 6)
-        print(f"rec {rec}: M {r64['M']}->{r32['M']} err {r64['err']}->"
-              f"{r32['err']}/{r64['tot']} ARI {ari:.4f} "
-              f"({r64['sec']}s/{r32['sec']}s) [{mode}]"
-              + (f" est_eff={results[key]['ari_est_effect']:.3f}"
-                 f" dtype_eff={results[key]['ari_dtype_effect']:.3f}"
-                 if "ari_est_effect" in results[key] else ""), flush=True)
-        with open(args.out, "w") as f:
-            json.dump(results, f, indent=1, sort_keys=True)
-        _np.savez_compressed(asg_path, **asg)
-    write_md(results, args.md)
+    if args.write_md:
+        write_md(_load_json(args.out), args.md)
+        return
+    if args.merge:
+        merge(args, mode, est, factor=not args.no_factor)
+        return
+    if args.arm:
+        run_arm(args.arm, args, mode, est)
+        return
+
+    # legacy single-process mode: both arms inline, then merge
+    run_arm("f64", args, mode, est)
+    run_arm("f32", args, mode, est)
+    merge(args, mode, est)
 
 
 if __name__ == "__main__":
