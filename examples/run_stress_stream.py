@@ -70,6 +70,17 @@ def run_grow(args):
                    compute_dtype="float32")
     eng = OnlineStreamEngine(model, K=K, chunk=args.chunk)
 
+    def _log(obj):
+        if args.log:
+            import json
+            with open(args.log, "a") as f:
+                f.write(json.dumps(obj) + "\n")
+
+    def _peak_rss_mb():
+        import resource
+        return round(resource.getrusage(
+            resource.RUSAGE_SELF).ru_maxrss / 1024.0, 1)
+
     block = 65536
     done = 0
     z_all = []
@@ -99,6 +110,11 @@ def run_grow(args):
             print(f"{done}/{args.beats} beats  "
                   f"{(done - done0) / dt:.0f} beats/s  M={M}",
                   flush=True)
+            # checkpoint line: a dropped tunnel still leaves a
+            # committable partial artifact
+            _log({"beats": done, "of": args.beats, "K": K, "M": M,
+                  "beats_per_sec": round((done - done0) / dt, 1),
+                  "peak_rss_mb": _peak_rss_mb()})
     dt = max(time.time() - t0, 1e-9)
     z_all = np.concatenate(z_all)
     uids = np.asarray(eng.uids)
@@ -113,7 +129,11 @@ def run_grow(args):
     bps = (done - done0) / dt
     print(f"GROWTH STRESS DONE: {done} beats, K_slots={K}, "
           f"clusters_born={M}, {bps:.0f} beats/s, acc={acc:.4f}, "
-          f"{dt / 60:.1f} min (steady-state, first block excluded)")
+          f"{dt / 60:.1f} min (steady-state, first block excluded), "
+          f"peak_rss={_peak_rss_mb()} MB")
+    _log({"event": "done", "beats": done, "K": K, "clusters_born": M,
+          "beats_per_sec": round(bps, 1), "accuracy": round(acc, 4),
+          "minutes": round(dt / 60, 1), "peak_rss_mb": _peak_rss_mb()})
 
 
 def main():
@@ -124,6 +144,8 @@ def main():
     ap.add_argument("--chunk", type=int, default=8192)
     ap.add_argument("--grow", action="store_true",
                     help="full online VI with on-device births up to K")
+    ap.add_argument("--log", default=None,
+                    help="(--grow) append JSON progress/result lines here")
     args = ap.parse_args()
 
     if args.grow:

@@ -129,6 +129,13 @@ class ModelConfig:
     # speed mode — f64 is emulated on TPU, f32 is native. Cluster
     # decisions can differ slightly in f32.
     compute_dtype: str = "float64"
+    # f32 speed-mode fragility guard: the offline sweep records the
+    # smallest RELATIVE margin of every structural accept/reject ELBO
+    # comparison; a run whose narrowest decision sits below this
+    # tolerance is dtype-fragile (the same comparison in f64 could flip
+    # — the rec-104-class divergence) and `model.f32_fragile` turns
+    # True, recommending the f64 exact mode for that record.
+    f32_guard_tol: float = 1e-4
     hdp: HDPConfig = dataclasses.field(default_factory=HDPConfig)
     gp: GPConfig = dataclasses.field(default_factory=GPConfig)
     warp: WarpConfig = dataclasses.field(default_factory=WarpConfig)

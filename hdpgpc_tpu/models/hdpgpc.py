@@ -224,6 +224,9 @@ class HDPGPC:
         self.f_ind_old = np.zeros(self.M, np.int64)
         self.warp = False
         self._y_scale = 1.0     # f32 speed-mode amplitude normalisation
+        # f32 fragility guard (config.f32_guard_tol): smallest relative
+        # decision margin seen by _dec over the current batch sweep
+        self.f32_min_rel_margin = float("inf")
         self._warp_cache: Dict = {}
         self._kernel_fit_cache = _GLOBAL_KERNEL_FITS
         self._xb_digest = self._digest(np.asarray(self.x_basis))
@@ -866,25 +869,47 @@ class HDPGPC:
         jitted FB programs recompile only every fourth cluster birth;
         padding columns have zero forward mass and are never argmaxed.
         """
+        packed, K, Kp = self._fb_pack(q_w, startPi)
+        out = hmm_ops.fb_hard_packed(jnp.asarray(packed))
+        resp, logresp, respPair, logrespPair = jax.device_get(out)
+        return (resp[:, :K], logresp[:, :K], respPair[:, :K, :K],
+                logrespPair[:, :K, :K])
+
+    def _fb_pack(self, q_w: np.ndarray, startPi):
+        """Build the single packed FB upload (row 0: startPi, rows
+        [1, Kp]: transPi, rest: evidence): each host->device transfer on
+        the tunnelled TPU costs a full round-trip (~30 ms measured in
+        slow-tunnel states)."""
         K = q_w.shape[1]
         Kp = ((K + 3) // 4) * 4
         # float32 speed mode runs the message passing in f32 too (f64 is
         # emulated on TPU); the evidence was computed in f32 upstream, so
         # the hard-argmax decisions see no additional information loss.
         fdt = np.float32 if self.dtype == jnp.float32 else np.float64
-        # ONE packed upload (row 0: startPi, rows [1, Kp]: transPi,
-        # rest: evidence) and one packed fetch: each host<->device
-        # transfer on the tunnelled TPU costs a full round-trip
-        # (~30 ms measured in slow-tunnel states)
         packed = np.full((q_w.shape[0] + Kp + 1, Kp), -np.inf, fdt)
         spn = np.asarray(startPi)
         packed[0, :min(spn.shape[0], Kp)] = spn[:min(spn.shape[0], Kp)]
         packed[1:K + 1, :K] = self._trans_log_pi_for_K(K)
         packed[Kp + 1:, :K] = q_w
-        out = hmm_ops.fb_hard_packed(jnp.asarray(packed))
-        resp, logresp, respPair, logrespPair = jax.device_get(out)
-        return (resp[:, :K], logresp[:, :K], respPair[:, :K, :K],
-                logrespPair[:, :K, :K])
+        return packed, K, Kp
+
+    def _fb_hard(self, q_w: np.ndarray, startPi, transPi=None):
+        """Hard-decision-only `_fb`: same FB program, but only the two
+        per-row argmax index vectors come back over the tunnel (18 KB vs
+        ~1.3 MB of dense one-hots at N=2272, K=8); the one-hots are
+        reconstructed on host, bit-identical to the device build (same
+        first-max argmax rule). The offline sweep's local steps consume
+        only these hard tensors (GPI_HDP.py:1170-1241)."""
+        packed, K, Kp = self._fb_pack(q_w, startPi)
+        idx, pidx = jax.device_get(
+            hmm_ops.fb_hard_packed_idx(jnp.asarray(packed)))
+        N = q_w.shape[0]
+        resp = np.zeros((N, K))
+        resp[np.arange(N), np.minimum(idx, K - 1)] = 1.0
+        respPair = np.zeros((N, K, K))
+        respPair[np.arange(N), np.minimum(pidx // Kp, K - 1),
+                 np.minimum(pidx % Kp, K - 1)] = 1.0
+        return resp, respPair
 
     # ------------------------------------------------------------------
     # ELBO accounting (GPI_HDP.compute_q_elbo, GPI_HDP.py:1796-1864)
@@ -964,6 +989,33 @@ class HDPGPC:
         else:
             elbo = elbo_latent
         return q_bas, float(elbo)
+
+    def _dec(self, lhs: float, rhs: float) -> bool:
+        """Structural accept/reject ELBO comparison, instrumented for
+        the f32 fragility guard: record the relative decision margin
+        (|lhs-rhs| / max(|lhs|,|rhs|,1)). In float32 speed mode the two
+        sides are O(1e6) sums of device-computed f32 values, so a margin
+        below ~cfg.f32_guard_tol is within dtype noise — the identical
+        comparison in f64 could flip, and the sweep's trajectory (not
+        just its score) changes: the rec-104-class divergence
+        (docs/F32_VALIDATION.md). Decision semantics are unchanged."""
+        m = abs(lhs - rhs) / max(abs(lhs), abs(rhs), 1.0)
+        # exact ties are NOT fragile: equal f64 sums of device outputs
+        # almost surely mean the candidate trajectory is bitwise
+        # identical to the incumbent (memoized no-op refits in converged
+        # iterations), and identical inputs compare identically in any
+        # dtype
+        if 0.0 < m < self.f32_min_rel_margin:
+            self.f32_min_rel_margin = m
+        return lhs < rhs
+
+    @property
+    def f32_fragile(self) -> bool:
+        """True when this model ran a float32 sweep whose narrowest
+        structural decision margin sits inside f32 noise — the result
+        may not match the f64 exact mode; re-run that record in f64."""
+        return (self.dtype == jnp.float32
+                and self.f32_min_rel_margin < self.cfg.f32_guard_tol)
 
     # ------------------------------------------------------------------
     # HDP global updates
@@ -1293,6 +1345,7 @@ class HDPGPC:
             y = self._maybe_normalise_f32(y)
         self._refit_memo.clear()
         self._memo_stats = [0, 0]
+        self.f32_min_rel_margin = float("inf")
         h = self.cfg.hdp
         print("------ HDP Hyperparameters ------", flush=True)
         print("gamma: " + str(h.gamma))
@@ -1373,6 +1426,13 @@ class HDPGPC:
                     break
             else:
                 break
+        if self.f32_fragile:
+            print(f"WARNING: float32 speed mode is dtype-FRAGILE on this "
+                  f"batch (narrowest decision margin "
+                  f"{self.f32_min_rel_margin:.2e} < "
+                  f"{self.cfg.f32_guard_tol:.0e} rel): the clustering may "
+                  "not match the f64 exact mode — re-run this record with "
+                  "compute_dtype='float64'.", flush=True)
         return self
 
     def _maybe_normalise_f32(self, y: np.ndarray) -> np.ndarray:
@@ -1496,7 +1556,7 @@ class HDPGPC:
 
         q_norm = self.weight_mean(q_, snr_)
         q_norm = q_norm - q_norm.max(axis=1, keepdims=True)
-        resp_temp, _, respPair_temp, _ = self._fb(q_norm, startPi, transPi)
+        resp_temp, respPair_temp = self._fb_hard(q_norm, startPi, transPi)
         per_group = resp_temp.sum(axis=0)
         reorder = np.argsort(-per_group, kind="stable")
         resp_temp = resp_temp[:, reorder].copy()
@@ -1549,7 +1609,7 @@ class HDPGPC:
             self.weight_mean(q_lat, snr_aux), clusters_temp, M, snr=snr_aux,
             post=post)
         if np.all(resp_temp.sum(axis=0) >= 1.0):
-            if q_bas + elbo_bas < q_post + elbo_post:
+            if self._dec(q_bas + elbo_bas, q_post + elbo_post):
                 y_w = y_w[:, :, :, reorder]
                 if reorder.shape[0] == self.f_ind_old.shape[0]:
                     self.f_ind_old = self.f_ind_old[reorder]
@@ -1559,8 +1619,8 @@ class HDPGPC:
             return resp, respPair, q_, q_lat_, snr_, y_w_, clusters
         print(f">>> Possible emergency reallocation. Prev ----:\n "
               f"Q_em: {q_def}, Elbo: {elbo_def}")
-        if (q_def + elbo_def < q_post + elbo_post
-                and q_bas + elbo_bas < q_post + elbo_post):
+        if (self._dec(q_def + elbo_def, q_post + elbo_post)
+                and self._dec(q_bas + elbo_bas, q_post + elbo_post)):
             print("Emergency reallocation and removing last group.")
             for ld in range(L):
                 clusters_temp[ld] = clusters_temp[ld][:-1]
@@ -1668,8 +1728,7 @@ class HDPGPC:
                 snr_aux[:, -1, :] = np.min(snr_aux) * 2.0
             q_norm = self.weight_mean(q_aux, snr_aux)
             q_norm = q_norm - q_norm.max(axis=1, keepdims=True)
-            resp_temp, _, respPair_temp, _ = self._fb(q_norm, startPi,
-                                                      transPi)
+            resp_temp, respPair_temp = self._fb_hard(q_norm, startPi, transPi)
             reorder = np.argsort(-resp_temp.sum(axis=0), kind="stable")
             resp_temp = resp_temp[:, reorder].copy()
 
@@ -1739,7 +1798,7 @@ class HDPGPC:
                 if (q_bas < q_bas_post
                         and not q_bas + elbo_bas < q_bas_post + elbo_post):
                     print("Possibly better q_obs but worse elbo.")
-                if (q_bas + elbo_bas < q_bas_post + elbo_post
+                if (self._dec(q_bas + elbo_bas, q_bas_post + elbo_post)
                         and q_bas != q_bas_post):
                     print("Reallocating beats into existing groups.")
                     reallocate = True
@@ -1758,7 +1817,7 @@ class HDPGPC:
                     resp, respPair, self.weight_mean(q_, snr_),
                     self.weight_mean(q_lat_, snr_), self.clusters, self.M,
                     snr=snr_, post=False)
-                if q_bas + elbo_bas < q_bas_ + elbo_bas_:
+                if self._dec(q_bas + elbo_bas, q_bas_ + elbo_bas_):
                     print("Emergency reallocation and removing last group.")
                     reallocate = True
                     for ld in range(L):
@@ -1873,8 +1932,8 @@ class HDPGPC:
                     snr_aux[:, -1, ld] = s_col
                 q_mean = self.weight_mean(q_simple_, snr_aux)
                 q_norm = q_mean - q_mean.max(axis=1, keepdims=True)
-                resp_temp, _, respPair_temp, _ = self._fb(q_norm, startPi,
-                                                          transPi)
+                resp_temp, respPair_temp = self._fb_hard(q_norm, startPi,
+                                                         transPi)
             else:
                 q = q__def.copy(); q_lat = q_lat__def.copy()
                 snr_aux = snr__def.copy()
@@ -1888,8 +1947,8 @@ class HDPGPC:
                 step += 1
                 q_mean = self.weight_mean(q__, snr_aux)
                 q_norm = q_mean - q_mean.max(axis=1, keepdims=True)
-                resp_temp, _, respPair_temp, _ = self._fb(q_norm, startPi,
-                                                          transPi)
+                resp_temp, respPair_temp = self._fb_hard(q_norm, startPi,
+                                                         transPi)
 
             reorder = np.argsort(-resp_temp.sum(axis=0), kind="stable")
             resp_temp = resp_temp[:, reorder].copy()
@@ -1948,7 +2007,7 @@ class HDPGPC:
                     resp, respPair, self.weight_mean(q_, snr_),
                     self.weight_mean(q_lat_, snr_), self.clusters, self.M,
                     snr=snr_, post=False)
-                if q_bas + elbo_bas < q_bas_ + elbo_bas_:
+                if self._dec(q_bas + elbo_bas, q_bas_ + elbo_bas_):
                     print("Emergency reallocation and removing last group.")
                     reallocate = True
                     for ld in range(L):
@@ -2005,7 +2064,7 @@ class HDPGPC:
                 if (q_bas < q_bas_post
                         and not q_bas + elbo_bas < q_bas_post + elbo_post):
                     print("Possibly better q_obs but worse elbo.")
-                if q_bas + elbo_bas < q_bas_post + elbo_post:
+                if self._dec(q_bas + elbo_bas, q_bas_post + elbo_post):
                     print(f"Chosen to divide: {m_chosen} with beat "
                           f"{f_ind_new}")
                     self.clusters = clusters_temp
@@ -3101,7 +3160,7 @@ class HDPGPC:
         startPi, transPi = self._online_pis(M)
         q_w = self.weight_mean(q, snr)
         q_norm = q_w - q_w.max(axis=1, keepdims=True)
-        resp, _, respPair, _ = self._fb(q_norm, startPi, transPi)
+        resp, respPair = self._fb_hard(q_norm, startPi, transPi)
         if not learning:
             return np.argmax(resp, axis=1)
 
@@ -3138,7 +3197,7 @@ class HDPGPC:
                 self.clusters[ld][m] = cl2
         q_w = self.weight_mean(q, snr_f)
         q_norm = q_w - q_w.max(axis=1, keepdims=True)
-        resp, _, respPair, _ = self._fb(q_norm, startPi, transPi)
+        resp, respPair = self._fb_hard(q_norm, startPi, transPi)
         iteration = 0
         reallocate = False
         y_w = np.broadcast_to(y_all[..., None], (Nf, T, L, M))
@@ -3271,6 +3330,7 @@ def _install_timers():
     HDPGPC._full_refit = timed("refit_one")(HDPGPC._full_refit)
     HDPGPC._seed_score = timed("seed_score")(HDPGPC._seed_score)
     HDPGPC._fb = timed("fb")(HDPGPC._fb)
+    HDPGPC._fb_hard = timed("fb")(HDPGPC._fb_hard)
     HDPGPC._maybe_kernel_fit = timed("kernel_fit")(HDPGPC._maybe_kernel_fit)
     HDPGPC.compute_q_elbo = timed("q_elbo")(HDPGPC.compute_q_elbo)
     HDPGPC._hdp_global_update = timed("hdp_update")(HDPGPC._hdp_global_update)

@@ -204,13 +204,8 @@ def fb_hard_packed(packed):
     return fb_hard(packed[0], packed[1:Kp + 1], packed[Kp + 1:])
 
 
-@precise_jit
-def fb_hard(start_log_pi, trans_log_pi, log_q):
-    """Full pipeline: normalise q -> FB -> hard resp and respPair.
-
-    Returns (resp, logresp, respPair, logrespPair), matching the
-    reference's variational_local_terms output contract.
-    """
+def _fb_messages(start_log_pi, trans_log_pi, log_q):
+    """Shared FB core: returns (logresp, logrespPair)."""
     q_norm, _ = row_normalize_log(log_q, axis=1)
     alpha, marg = forward(start_log_pi, trans_log_pi, q_norm)
     beta = backward(trans_log_pi, q_norm)
@@ -225,7 +220,37 @@ def fb_hard(start_log_pi, trans_log_pi, log_q):
     c = jnp.max(lrp, axis=1, keepdims=True)
     any_inf = jnp.any(jnp.isinf(c))
     logrespPair = jnp.where(any_inf, lrp, lrp - c)
+    return logresp, logrespPair
+
+
+@precise_jit
+def fb_hard(start_log_pi, trans_log_pi, log_q):
+    """Full pipeline: normalise q -> FB -> hard resp and respPair.
+
+    Returns (resp, logresp, respPair, logrespPair), matching the
+    reference's variational_local_terms output contract.
+    """
+    logresp, logrespPair = _fb_messages(start_log_pi, trans_log_pi, log_q)
     return hard_resp(logresp), logresp, hard_resp_pair(logrespPair), logrespPair
+
+
+@precise_jit
+def fb_hard_packed_idx(packed):
+    """Hard-decision-only FB on a packed upload: returns per-row argmax
+    indices ``(idx (N,) int32, pair_idx (N,) int32)`` instead of dense
+    one-hots. The offline sweep consumes ONLY the hard argmaxes, and the
+    dense (N, K, K) pair tensor dominates the device->host fetch on a
+    tunnelled TPU (~1.3 MB/call at N=2272, K=8 vs 18 KB of indices).
+    The host reconstructs the identical one-hots (argmax tie-breaking is
+    the same first-max rule on both sides of the transfer)."""
+    Kp = packed.shape[1]
+    logresp, logrespPair = _fb_messages(packed[0], packed[1:Kp + 1],
+                                        packed[Kp + 1:])
+    N = logresp.shape[0]
+    idx = jnp.argmax(logresp, axis=-1).astype(jnp.int32)
+    pidx = jnp.argmax(logrespPair.reshape(N, Kp * Kp),
+                      axis=-1).astype(jnp.int32)
+    return idx, pidx
 
 
 def posterior_log_marginals(log_alpha, log_beta):

@@ -203,3 +203,24 @@ def test_entropy_nonnegative():
     respPair[np.arange(N), idx[:, 0], idx[:, 1]] = 1.0
     H = float(hmm.entropy_terms(jnp.asarray(resp), jnp.asarray(respPair)))
     assert H >= -1e-8
+
+
+def test_fb_hard_packed_idx_matches_dense():
+    """The index-only FB fetch must reconstruct the exact dense one-hots
+    (the offline sweep's _fb_hard path rides it)."""
+    s, t, q = _rand_inputs(T=40, K=3, seed=7)
+    K, Kp = 3, 4
+    packed = np.full((40 + Kp + 1, Kp), -np.inf)
+    packed[0, :K] = s
+    packed[1:K + 1, :K] = t
+    packed[Kp + 1:, :K] = q
+    resp, _, respPair, _ = hmm.fb_hard_packed(jnp.asarray(packed))
+    idx, pidx = hmm.fb_hard_packed_idx(jnp.asarray(packed))
+    idx, pidx = np.asarray(idx), np.asarray(pidx)
+    resp_r = np.zeros((40, K))
+    resp_r[np.arange(40), np.minimum(idx, K - 1)] = 1.0
+    pair_r = np.zeros((40, K, K))
+    pair_r[np.arange(40), np.minimum(pidx // Kp, K - 1),
+           np.minimum(pidx % Kp, K - 1)] = 1.0
+    np.testing.assert_array_equal(resp_r, np.asarray(resp)[:, :K])
+    np.testing.assert_array_equal(pair_r, np.asarray(respPair)[:, :K, :K])

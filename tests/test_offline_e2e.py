@@ -139,3 +139,45 @@ def test_compute_joint_xy_q_matches_independent_when_rho_zero():
     far = y + 50.0
     q_far = m.compute_joint_xy_q(far)
     assert (q_far < q0).all()
+
+
+@pytest.mark.slow
+def test_f32_fragility_guard_records_margins():
+    """The f32 speed-mode guard must record a finite narrowest decision
+    margin over a sweep and flag fragility exactly when that margin
+    sits below config.f32_guard_tol (VERDICT r3 ask #2: a documented
+    per-record divergence guard)."""
+    import dataclasses
+
+    T, N, K = 24, 50, 2
+    y, z = synthetic_beats(N, T=T, n_clusters=K, noise=0.03, seed=1)
+    std, std_dif, bs, bg = compute_estimators_lds(y)
+    model = _build_model(T, std, std_dif, bs, bg,
+                         compute_dtype="float32")
+    model.cfg = dataclasses.replace(
+        model.cfg, gp=dataclasses.replace(model.cfg.gp,
+                                          kernel_fit_iters=200))
+    x_trains = np.tile(np.arange(T, dtype=np.float64), (N, 1))
+    model.include_batch(x_trains, y, with_warp=False)
+    # a real sweep exercises birth accept/reject comparisons: the
+    # narrowest non-tie margin must have been recorded
+    assert np.isfinite(model.f32_min_rel_margin)
+    assert model.f32_min_rel_margin > 0.0
+    # the flag is exactly the threshold comparison (same model state)
+    tol_above = model.f32_min_rel_margin * 2.0
+    tol_below = model.f32_min_rel_margin * 0.5
+    model.cfg = dataclasses.replace(model.cfg, f32_guard_tol=tol_above)
+    assert model.f32_fragile
+    model.cfg = dataclasses.replace(model.cfg, f32_guard_tol=tol_below)
+    assert not model.f32_fragile
+
+
+def test_f32_guard_ignores_exact_ties():
+    """lhs == rhs (bitwise-identical candidate trajectories) must not
+    count as a fragile margin."""
+    from hdpgpc_tpu.models.hdpgpc import HDPGPC
+    m = HDPGPC(default_x_basis(8), n_outputs=1)
+    assert m._dec(1.0, 1.0) is False
+    assert m.f32_min_rel_margin == float("inf")
+    m._dec(1.0, 1.0 + 1e-9)
+    assert np.isclose(m.f32_min_rel_margin, 1e-9 / 1.0, rtol=1e-2)

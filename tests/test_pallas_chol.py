@@ -14,6 +14,12 @@ import pytest
 
 from hdpgpc_tpu.ops.pallas.chol_solve import TP, fused_spd_solve
 
+# Interpreter-mode Pallas is minutes-slow on the 1-core CI host; these
+# run in the `pallas` tier (`pytest -m pallas`) instead of the quick
+# default tier. Coverage is unchanged — the tier is exercised whenever
+# kernels change (and the kernel self-validates at import on real TPU).
+pytestmark = [pytest.mark.pallas, pytest.mark.slow]
+
 
 def _spd_batch(rng, n, T, cond=5.0):
     M = rng.standard_normal((n, T, T)).astype(np.float32)
