@@ -115,24 +115,26 @@ def run_one(rec, beats, dtype, est_limit=None):
             "platform": jax.default_backend()}, assignments(m)
 
 
-def write_md(results, path):
+def write_md(results, path, est=300):
     rows = sorted(results.items())
     lines = [
-        "# float32 speed-mode structural validation",
+        f"# float32 speed-mode structural validation (est{est})",
         "",
         "Per bundled MIT-BIH record: offline VI (reference test_offline.py",
         "configuration, lead 0, warp off) run in float64 (exact-parity mode,",
-        "no estimation limit) and the BENCHED float32 TPU speed mode",
-        "(internal amplitude normalisation + estimation_limit=300 — the",
-        "exact bench.py configuration the headline speedup rides on).",
+        "no estimation limit) and the float32 TPU speed mode",
+        f"(internal amplitude normalisation + estimation_limit={est}"
+        + (" — the exact bench.py configuration the headline speedup"
+           " rides on)." if est == 300 else ")."),
         "ARI = adjusted Rand index between the two final hard partitions",
         "(1.0 = identical member sets up to relabeling). Produced by",
         "`tools/validate_f32.py`; artifact `docs/f32_validation.json`.",
         "",
         "Where ARI < 0.8 the divergence is factored into its two causes:",
-        "`est eff` = ARI(f64 exact, f64+est300) — the estimation-limit",
+        f"`est eff` = ARI(f64 exact, f64+est{est}) — the estimation-limit",
         "CONFIG effect, present in the reference under the same knob",
-        "(GPI_HDP.py:90) — and `dtype eff` = ARI(f64+est300, f32+est300),",
+        f"(GPI_HDP.py:90) — and `dtype eff` = ARI(f64+est{est}, "
+        f"f32+est{est}),",
         "the pure float32 fidelity the speed mode answers for.",
         "",
         "| rec | beats | M f64 | M f32 | err f64 | err f32 | ARI | est eff | dtype eff | s f64 | s f32 |",
@@ -187,8 +189,14 @@ def write_md(results, path):
     print(f"wrote {path} ({n} records)")
 
 
-def arm_paths(arm, base_out):
+def arm_paths(arm, base_out, est=None):
+    """Arm artifact paths. The f64 exact arm is config-independent and
+    shared between est configs; an f32 arm is per-est-limit (the benched
+    est300 keeps the legacy unsuffixed name so round-3/4 artifacts stay
+    valid)."""
     stem = os.path.join(os.path.dirname(base_out), f"arm_{arm}")
+    if arm == "f32" and est not in (None, 300):
+        stem += f"_est{est}"
     return stem + ".json", stem + "_assignments.npz"
 
 
@@ -197,7 +205,7 @@ def run_arm(arm, args, mode, est):
     import numpy as np
     from hdpgpc_tpu.data.loader import list_records
 
-    out, asg_path = arm_paths(arm, args.out)
+    out, asg_path = arm_paths(arm, args.out, est)
     results = _load_json(out)
     asg = _load_npz(asg_path)
     # seed from the legacy combined artifact so round-3 runs are reused
@@ -257,7 +265,7 @@ def merge(args, mode, est, factor=True):
     comb_asg = _load_npz(comb_asg_path)
 
     for arm in ("f64", "f32"):
-        out, asg_path = arm_paths(arm, args.out)
+        out, asg_path = arm_paths(arm, args.out, est)
         res = _load_json(out)
         asg = _load_npz(asg_path)
         for key, entry in res.items():
@@ -306,7 +314,7 @@ def merge(args, mode, est, factor=True):
             _atomic_npz(comb_asg_path, comb_asg)
     _atomic_json(args.out, combined)
     _atomic_npz(comb_asg_path, comb_asg)
-    write_md(combined, args.md)
+    write_md(combined, args.md, est=est or 0)
 
 
 def main():
