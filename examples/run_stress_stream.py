@@ -36,16 +36,29 @@ def synthetic_growth_stream(n, T, n_clusters, seed, start_beat,
     avail = 1 + (start_beat + np.arange(n)) // interval
     avail = np.minimum(avail, n_clusters)
     z = z % avail
-    t = np.linspace(0.0, 1.0, T)
-    rng = np.random.default_rng(0)  # fixed template bank across blocks
-    centers = rng.uniform(0.15, 0.85, size=n_clusters)
-    widths = rng.uniform(0.03, 0.12, size=n_clusters)
-    amps = rng.uniform(0.8, 2.0, size=n_clusters)
-    tmpl = amps[:, None] * np.exp(
-        -0.5 * ((t[None, :] - centers[:, None]) / widths[:, None]) ** 2)
+    tmpl = growth_templates(T, n_clusters)
     noise_rng = np.random.default_rng(seed + 1)
-    y = tmpl[z] + 0.05 * noise_rng.standard_normal((n, T))
+    y = tmpl[z] + 0.03 * noise_rng.standard_normal((n, T))
     return y.astype(np.float64), z
+
+
+def growth_templates(T, n_clusters):
+    """Fixed bank of smoothed-random morphologies (unit curves scaled to
+    distinct amplitudes). Near-orthogonal in R^T, so every new morphology
+    is far from every committed cluster — the regime in which the
+    reference's birth rule (GPI_HDP.py:2464-2541: pristine-template
+    emission gate + one-sample ELBO comparison incl. the x5 latent term)
+    actually prefers birth over absorption. Low-separation banks (e.g.
+    overlapping Gaussian bumps) make the same rule absorb — that is
+    faithful algorithm behaviour, not an engine property, so the stress
+    uses a bank the algorithm segregates."""
+    g = np.exp(-0.5 * ((np.arange(-6, 7)) / 2.0) ** 2)
+    g /= g.sum()
+    raw = np.random.default_rng(0).standard_normal((n_clusters, T + 12))
+    sm = np.stack([np.convolve(r, g, mode="same")[6:6 + T] for r in raw])
+    sm /= np.linalg.norm(sm, axis=1, keepdims=True)
+    amps = np.random.default_rng(1).uniform(2.4, 6.0, n_clusters)
+    return sm * amps[:, None] * np.sqrt(T) / 3.0
 
 
 def run_grow(args):

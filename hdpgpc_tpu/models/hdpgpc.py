@@ -1383,6 +1383,13 @@ class HDPGPC:
             if resp.shape[1] > M:
                 self.M = M + 1
                 M = self.M
+            elif resp.shape[1] < M:
+                # Emergency group removal shrank the bank mid-sweep
+                # (GPI_HDP.py:1451-1460 trims gpmodels but never resyncs
+                # self.M — a latent reference crash in _calcThetaFull on
+                # the next global update). Resync to the live count.
+                self.M = resp.shape[1]
+                M = self.M
             self._hdp_global_update(resp, respPair, M, n_iters=2)
             if self.T_count > 1:
                 edt = np.float32 if self.dtype == jnp.float32 \
@@ -3212,6 +3219,13 @@ class HDPGPC:
                                            reallocate)
             if resp.shape[1] > M:
                 self.M = M + 1
+                M = self.M
+            elif resp.shape[1] < M:
+                # Emergency group removal shrank the bank mid-sweep
+                # (GPI_HDP.py:1451-1460 trims gpmodels but never resyncs
+                # self.M — a latent reference crash in _calcThetaFull on
+                # the next global update). Resync to the live count.
+                self.M = resp.shape[1]
                 M = self.M
             self._hdp_global_update(resp, respPair, M, n_iters=2)
             if self.T_count > 1:

@@ -282,11 +282,18 @@ def reinit_globals(glob: HDPGlobals, M: int, trans_counts, start_counts) -> HDPG
 
 def expand_globals_tmp(glob: HDPGlobals, M: int, trans_counts, start_counts):
     """Temporary expansion to M clusters for candidate ELBO evaluation
-    (GPI_HDP.py:365-375)."""
+    (GPI_HDP.py:365-375). Also handles M < len(rho) by truncation: after
+    an emergency group removal (GPI_HDP.py:1451-1460) the stale globals
+    can be one entry longer than the live cluster count; the reference's
+    temp_reinit_global_params would raise on that state (latent crash,
+    reachable e.g. on rec 107 under estimation_limit=300) — the extra
+    stick belongs to the removed cluster, so dropping it is the
+    consistent recovery."""
     rho_ = create_init_rho(M)
-    rho_[:glob.rho.shape[0]] = glob.rho
+    k = min(glob.rho.shape[0], M)
+    rho_[:k] = glob.rho[:k]
     omega_ = (1.0 + glob.gamma) * np.ones(M)
-    omega_[:glob.omega.shape[0]] = glob.omega
+    omega_[:k] = glob.omega[:k]
     tt, st = calc_theta_full(glob, trans_counts, start_counts, M + 1, rho=rho_)
     return rho_, omega_, tt, st
 
