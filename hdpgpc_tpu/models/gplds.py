@@ -241,9 +241,12 @@ def _tail_filter(Y_t, member_t, f_H, P_H, A, G, C, S):
         I_ = jnp.eye(T, dtype=dtype)
         I_C1J2 = I_ + C1 @ J2
         I_J2C1 = I_ + J2 @ C1
-        M = jnp.linalg.solve(I_C1J2.swapaxes(-1, -2),
-                             A2.swapaxes(-1, -2)).swapaxes(-1, -2)
-        Nt = jnp.linalg.solve(I_J2C1.swapaxes(-1, -2), A1)
+        # linalg.solve_general: TPU implements LU only for f32/c64, so
+        # the f64 exact mode routes through QR here (same crash class
+        # as ops/kalman._combine)
+        M = linalg.solve_general(I_C1J2.swapaxes(-1, -2),
+                                 A2.swapaxes(-1, -2)).swapaxes(-1, -2)
+        Nt = linalg.solve_general(I_J2C1.swapaxes(-1, -2), A1)
         return (M @ A1,
                 M @ (b1 + C1 @ eta2) + b2,
                 M @ C1 @ A2.swapaxes(-1, -2) + C2,

@@ -146,9 +146,10 @@ def _combine(elem_l, elem_r):
     # M = A2 (I + C1 J2)^{-1};  N = A1' (I + J2 C1)^{-1}
     I_C1J2 = eye + C1 @ J2
     I_J2C1 = eye + J2 @ C1
-    M = jnp.linalg.solve(I_C1J2.swapaxes(-1, -2), A2.swapaxes(-1, -2)).swapaxes(-1, -2)
+    M = linalg.solve_general(
+        I_C1J2.swapaxes(-1, -2), A2.swapaxes(-1, -2)).swapaxes(-1, -2)
     # N = A1' (I + J2 C1)^{-1}  =  [ (I + J2 C1)^{-T} A1 ]'
-    Nt = jnp.linalg.solve(I_J2C1.swapaxes(-1, -2), A1)
+    Nt = linalg.solve_general(I_J2C1.swapaxes(-1, -2), A1)
     A = M @ A1
     b = M @ (b1 + C1 @ eta2) + b2
     C = M @ C1 @ A2.swapaxes(-1, -2) + C2

@@ -115,6 +115,26 @@ def inv_spd(M: jax.Array) -> jax.Array:
     return k * jax.scipy.linalg.cho_solve((L, True), eye)
 
 
+def solve_general(A: jax.Array, B: jax.Array, *,
+                  force_qr: bool = False) -> jax.Array:
+    """Batched general (non-SPD) solve ``A^{-1} B``.
+
+    XLA's TPU backend implements the LuDecomposition custom op only
+    for f32/c64, so ``jnp.linalg.solve`` aborts compilation for
+    float64 operands on TPU (hit by the est-limit frozen-tail parallel
+    filter's combine in f64 exact mode). Route that case through
+    QR + triangular solve (both implemented for TPU f64); everywhere
+    else keep the LU solve. ``force_qr`` exists for testing the QR
+    branch on hosts without a TPU.
+    """
+    if force_qr or (A.dtype == jnp.float64
+                    and jax.default_backend() == "tpu"):
+        Q, R = jnp.linalg.qr(A)
+        return jax.scipy.linalg.solve_triangular(
+            R, Q.swapaxes(-1, -2) @ B, lower=False)
+    return jnp.linalg.solve(A, B)
+
+
 def solve_spd_t(S: jax.Array, B: jax.Array) -> jax.Array:
     """X = B @ S^{-1} for SPD S, via Cholesky (TPU-safe f64).
 

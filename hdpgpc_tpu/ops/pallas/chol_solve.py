@@ -108,6 +108,97 @@ def _inv_lower(Lb):
     return X
 
 
+def _panel_factor_b(slab, j0):
+    """Batched `_panel_factor`: slab (B, TP, NB), all B matrices share
+    the serial pivot chain — one rank-1 update per pivot updates every
+    matrix in the batch, so the kernel's critical path is NB pivots per
+    panel instead of B * NB (the grid=(n,) form re-ran the whole chain
+    per matrix)."""
+    B = slab.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, TP, NB), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, TP, NB), 2)
+    for k in range(NB):                 # python-unrolled (Mosaic: see
+        piv_row = j0 + k                # _panel_factor note)
+        colv = jnp.sum(jnp.where(cols == k, slab, 0.0), axis=2,
+                       keepdims=True)                     # (B, TP, 1)
+        rowv = jnp.sum(jnp.where(rows == piv_row, slab, 0.0), axis=1,
+                       keepdims=True)                     # (B, 1, NB)
+        # pivot as a (B, 1, 1) via two single-axis masked reductions
+        # (a multi-axis reduce's reshape trips Mosaic layout inference)
+        piv = jnp.sum(jnp.where(rows[:, :, :1] == piv_row, colv, 0.0),
+                      axis=1, keepdims=True)              # (B, 1, 1)
+        dinv = jax.lax.rsqrt(piv)                         # (B, 1, 1)
+        lcol = jnp.where(rows[:, :, :1] >= piv_row, colv * dinv, 0.0)
+        mult = jnp.where(cols[:, :1, :] > k, rowv * dinv, 0.0)
+        slab = slab - lcol * mult       # VPU broadcast rank-1, batched
+        slab = jnp.where(cols == k, lcol, slab)
+    return slab
+
+
+def _inv_lower_b(Lb):
+    """Batched `_inv_lower`: (B, NB, NB) lower-triangular inverses."""
+    B = Lb.shape[0]
+    r = jax.lax.broadcasted_iota(jnp.int32, (B, NB, NB), 1)
+    c = jax.lax.broadcasted_iota(jnp.int32, (B, NB, NB), 2)
+    X = jnp.zeros((B, NB, NB), Lb.dtype)
+    for k in range(NB):
+        lrow = jnp.sum(jnp.where(r == k, Lb, 0.0), axis=1,
+                       keepdims=True)                     # (B, 1, NB)
+        piv = jnp.sum(jnp.where(c[:, :1, :] == k, lrow, 0.0), axis=2,
+                      keepdims=True)                      # (B, 1, 1)
+        lrow_strict = jnp.where(c[:, :1, :] < k, lrow, 0.0)
+        ek = (c[:, :1, :] == k).astype(Lb.dtype)
+        newrow = (ek - _mm(lrow_strict, X)) / piv         # (B, 1, NB)
+        X = jnp.where(r == k, newrow, X)
+    return X
+
+
+def _chol_solve_kernel_batched(a_ref, b_ref, x_ref):
+    """Whole-batch fused factor+solve: ONE kernel instance factors all
+    B SPD systems together (batch-vectorized pivot chain), then runs
+    both substitutions as batched MXU matmuls. Same numerics as
+    `_chol_solve_kernel`, ~B-fold shorter serial critical path."""
+    A = a_ref[...]                                        # (B, TP, TP)
+    Bm = b_ref[...]
+
+    panels = []                                  # (B, TP, NB) L panels
+    for j in range(_NBLK):
+        j0 = j * NB
+        slab = A[:, :, j0:j0 + NB]
+        if j > 0:
+            Ldone = jnp.concatenate(panels, axis=2)       # (B, TP, j0)
+            slab = slab - _mm(Ldone,
+                              Ldone[:, j0:j0 + NB, :].swapaxes(1, 2))
+        panels.append(_panel_factor_b(slab, j0))
+    L = jnp.concatenate(panels, axis=2)                   # (B, TP, TP)
+
+    # keep invD as a python list of (B, NB, NB) blocks — a stacked 4D
+    # array would need Mosaic 4D vector layouts
+    invD = [_inv_lower_b(panels[j][:, j * NB:(j + 1) * NB, :])
+            for j in range(_NBLK)]
+
+    yrows = []
+    for j in range(_NBLK):
+        j0 = j * NB
+        Rj = Bm[:, j0:j0 + NB, :]
+        if j > 0:
+            Ydone = jnp.concatenate(yrows, axis=1)        # (B, j0, TP)
+            Rj = Rj - _mm(L[:, j0:j0 + NB, :j0], Ydone)
+        yrows.append(_mm(invD[j], Rj))
+
+    xrows: list = [None] * _NBLK
+    for j in reversed(range(_NBLK)):
+        j0 = j * NB
+        j1 = j0 + NB
+        Rj = yrows[j]
+        if j < _NBLK - 1:
+            Xdone = jnp.concatenate(xrows[j + 1:], axis=1)
+            Rj = Rj - _mm(L[:, j1:, j0:j1].swapaxes(1, 2), Xdone)
+        xrows[j] = _mm(invD[j].swapaxes(1, 2), Rj)
+
+    x_ref[...] = jnp.concatenate(xrows, axis=1)
+
+
 def _chol_solve_kernel(a_ref, b_ref, x_ref):
     # NOTE: no ``.at[].set`` anywhere — Mosaic's lowering of scatter /
     # masked-write into a full tile is unsupported on this toolchain
@@ -156,14 +247,21 @@ def _chol_solve_kernel(a_ref, b_ref, x_ref):
     x_ref[0] = jnp.concatenate(xrows, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "batched"))
 def fused_spd_solve(spd: jax.Array, rhs: jax.Array,
-                    interpret: bool | None = None) -> jax.Array:
+                    interpret: bool | None = None,
+                    batched: bool = True) -> jax.Array:
     """X[i] = spd[i]^{-1} rhs[i] for spd, rhs of shape (n, T, T), T <= 128.
 
     spd must be symmetric positive definite (jitter applied by the
     caller, matching the XLA path). float32. interpret=None resolves to
     compiled on TPU, interpreter elsewhere (CPU tests).
+
+    batched=True (default) runs ONE kernel instance that factors the
+    whole batch together — the pivot chain is vectorized across the
+    batch, so the serial critical path does not grow with n (VMEM
+    bound: ~n * 3 * TP*TP*4 bytes; fine for the refit step's n <= 8).
+    batched=False keeps the original grid=(n,) per-matrix form.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -173,6 +271,27 @@ def fused_spd_solve(spd: jax.Array, rhs: jax.Array,
         pad, dtype=spd.dtype)) if pad else jnp.zeros((TP, TP), spd.dtype)
     A = jnp.pad(spd, ((0, 0), (0, pad), (0, pad))) + eyep
     B = jnp.pad(rhs, ((0, 0), (0, pad), (0, pad)))
+    if batched:
+        # explicit i32 index map: a defaulted BlockSpec synthesizes i64
+        # zero indices under jax_enable_x64, and when the caller vmaps
+        # this function (the refit program batches clusters) Mosaic
+        # rejects the generated index-map function ("failed to legalize
+        # 'func.return' (i32, i64, i64, i64)") — same class as the
+        # grid-form note below.
+        imap3 = lambda i: (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        X = pl.pallas_call(
+            _chol_solve_kernel_batched,
+            out_shape=jax.ShapeDtypeStruct((n, TP, TP), spd.dtype),
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((n, TP, TP), imap3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, TP, TP), imap3, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n, TP, TP), imap3,
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(A, B)
+        return X[:, :T, :T]
     # NOTE: the literal 0s in the index map MUST be i32: under
     # jax_enable_x64 a bare Python 0 traces as i64 and Mosaic rejects
     # the index-map function ("failed to legalize 'func.return'
@@ -250,36 +369,43 @@ def pallas_solves_enabled() -> bool:
         if ok:
             # profitability check: enable only if the kernel actually
             # beats the XLA cholesky+cho_solve lowering at a refit-like
-            # batch, measured dispatch-free (20 iterations inside one
-            # jitted scan). On some toolchains the 3-pass HIGHEST
-            # matmuls make the fused kernel slower than XLA — then the
-            # correct production choice is XLA, and HDPGPC_PALLAS_SOLVES
-            # =1 remains the manual override.
+            # batch. Measured over 200 iterations inside ONE jitted
+            # scan: at the old 20 iterations the whole program ran in
+            # ~one tunnel round-trip (~27 ms), so the "timing" was pure
+            # dispatch latency and the gate's verdict was noise
+            # (measured len=20: 3.0 vs 2.0 ms/iter; len=200: 0.34 vs
+            # 0.36 — opposite conclusions). 200 iterations puts kernel
+            # time an order of magnitude above dispatch.
             import time as _time
             s4 = jnp.asarray(_np.tile(spd, (2, 1, 1)))
             r4 = jnp.asarray(_np.tile(rhs, (2, 1, 1)))
+            _LEN = 200
 
             def _many(fn):
                 def body(c, _):
-                    return c + 1.0, fn(s4 + 0.0 * c, r4)
+                    return c + 1.0, fn(s4 + 0.0 * c, r4)[0, 0, 0]
                 return jax.jit(lambda: jax.lax.scan(
-                    body, jnp.float32(0), None, length=20)[1])
+                    body, jnp.float32(0), None, length=_LEN)[1])
 
             def _t(fn):
                 prog = _many(fn)
                 prog().block_until_ready()
-                t0 = _time.time()
-                prog().block_until_ready()
-                return _time.time() - t0
+                best = float("inf")
+                for _ in range(3):
+                    t0 = _time.time()
+                    prog().block_until_ready()
+                    best = min(best, _time.time() - t0)
+                return best
 
             t_pl = _t(lambda a, b: fused_spd_solve(a, b, interpret=False))
             t_xla = _t(lambda a, b: jax.scipy.linalg.cho_solve(
                 (jnp.linalg.cholesky(a), True), b))
             ok = t_pl < t_xla
+            ms = 1e3 / _LEN
             if not ok:
                 import sys as _sys
                 print(f"hdpgpc_tpu: pallas chol_solve correct but slower "
-                      f"than XLA here ({t_pl * 50:.2f} vs {t_xla * 50:.2f} "
+                      f"than XLA here ({t_pl * ms:.3f} vs {t_xla * ms:.3f} "
                       "ms/iter); using XLA solves", file=_sys.stderr)
         _PROBE_RESULT = ok
         return ok

@@ -163,3 +163,21 @@ def test_parallel_filter_masked_matches_gated_sequential():
                                rtol=1e-8, atol=1e-9)
     np.testing.assert_allclose(np.asarray(Ps), np.stack(seq_P),
                                rtol=1e-8, atol=1e-9)
+
+
+def test_solve_general_qr_branch_matches_lu():
+    """ops/linalg.solve_general: the QR branch (used for f64 on TPU,
+    where XLA implements LuDecomposition only for f32/c64 — hit by the
+    est-limit frozen-tail parallel filter in f64 exact mode) must match
+    the LU solve on general batched non-SPD systems."""
+    from hdpgpc_tpu.ops import linalg
+
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((4, 12, 12)) + 4.0 * np.eye(12)
+    B = rng.standard_normal((4, 12, 7))
+    ref = np.linalg.solve(A, B)
+    for force in (False, True):
+        x = linalg.solve_general(jnp.asarray(A), jnp.asarray(B),
+                                 force_qr=force)
+        np.testing.assert_allclose(np.asarray(x), ref,
+                                   rtol=1e-9, atol=1e-10)

@@ -110,9 +110,17 @@ def run_one(rec, beats, dtype, est_limit=None):
         m.include_batch(x, data, with_warp=False)
     err, tot = classification_error(m, labels, 0)
     import jax
-    return {"M": int(m.M), "err": int(err), "tot": int(tot),
-            "sec": round(time.time() - t0, 1),
-            "platform": jax.default_backend()}, assignments(m)
+    r = {"M": int(m.M), "err": int(err), "tot": int(tot),
+         "sec": round(time.time() - t0, 1),
+         "platform": jax.default_backend()}
+    if dtype == "float32":
+        # f32 fragility guard telemetry (config.f32_guard_tol): the
+        # per-record signal bench.py's quality gate keys on
+        mrm = m.f32_min_rel_margin
+        r["guard_min_rel_margin"] = (None if mrm == float("inf")
+                                     else float(f"{mrm:.3e}"))
+        r["guard_fragile"] = bool(m.f32_fragile)
+    return r, assignments(m)
 
 
 def write_md(results, path, est=300):
@@ -137,8 +145,14 @@ def write_md(results, path, est=300):
         f"f32+est{est}),",
         "the pure float32 fidelity the speed mode answers for.",
         "",
-        "| rec | beats | M f64 | M f32 | err f64 | err f32 | ARI | est eff | dtype eff | s f64 | s f32 |",
-        "|---|---|---|---|---|---|---|---|---|---|---|",
+        "`guard` = the f32 fragility guard's verdict for the f32 run",
+        "(models/hdpgpc.py `f32_fragile`: narrowest structural",
+        "accept/reject decision margin < config.f32_guard_tol)."
+        " bench.py's quality gate rejects flagged runs; a user gets the",
+        "flag on the model and should re-run that record in f64.",
+        "",
+        "| rec | beats | M f64 | M f32 | err f64 | err f32 | ARI | est eff | dtype eff | guard | s f64 | s f32 |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     n = 0
     ari_sum = 0.0
@@ -151,11 +165,15 @@ def write_md(results, path, est=300):
               else "—")
         de = (f"{r['ari_dtype_effect']:.3f}" if "ari_dtype_effect" in r
               else "—")
+        if "guard_fragile" in r["f32"]:
+            guard = "FLAG" if r["f32"]["guard_fragile"] else "ok"
+        else:
+            guard = "—"
         lines.append(
             f"| {rec} | {r['beats']} | {r['f64']['M']} | {r['f32']['M']} "
             f"| {r['f64']['err']}/{r['f64']['tot']} "
             f"| {r['f32']['err']}/{r['f32']['tot']} "
-            f"| {r['ari']:.4f} | {ee} | {de} "
+            f"| {r['ari']:.4f} | {ee} | {de} | {guard} "
             f"| {r['f64']['sec']} | {r['f32']['sec']} |")
         n += 1
         ari_sum += r["ari"]
@@ -224,6 +242,9 @@ def run_arm(arm, args, mode, est):
                     and results[key].get("f32_mode") == mode)
             cached = (key in combined and akey in comb_asg
                       and combined[key].get("f32_mode") == mode)
+        if done and getattr(args, "force", False):
+            done = False
+            cached = False
         if done:
             print(f"{key}: done", flush=True)
             continue
@@ -336,6 +357,9 @@ def main():
                          "compute ARIs + factoring arms, write markdown")
     ap.add_argument("--no-factor", action="store_true",
                     help="with --merge: skip the f64+est factoring runs")
+    ap.add_argument("--force", action="store_true",
+                    help="with --arm: re-run records already in the arm "
+                         "artifact (e.g. to collect guard telemetry)")
     ap.add_argument("--out", default="docs/f32_validation.json")
     ap.add_argument("--md", default="docs/F32_VALIDATION.md")
     ap.add_argument("--write-md", action="store_true",
