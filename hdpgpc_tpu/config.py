@@ -136,6 +136,15 @@ class ModelConfig:
     # — the rec-104-class divergence) and `model.f32_fragile` turns
     # True, recommending the f64 exact mode for that record.
     f32_guard_tol: float = 1e-4
+    # What include_batch does when the guard fires at the end of a
+    # float32 sweep (reference failure-fallback idiom,
+    # OptimizerRhoOmega.py:59-95 — degrade to a safer path, loudly):
+    #   'warn'         — print the warning, keep the f32 result
+    #   'raise'        — raise FloatingPointError with instructions
+    #   'fallback_f64' — re-run this batch in float64 exact mode on a
+    #                    fresh model and adopt its result (slow, exact);
+    #                    the f32 telemetry survives in model.f32_fallback
+    on_fragile: str = "warn"
     hdp: HDPConfig = dataclasses.field(default_factory=HDPConfig)
     gp: GPConfig = dataclasses.field(default_factory=GPConfig)
     warp: WarpConfig = dataclasses.field(default_factory=WarpConfig)

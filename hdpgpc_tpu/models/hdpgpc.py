@@ -170,6 +170,10 @@ class HDPGPC:
                 compute_dtype=compute_dtype,
                 hdp=hdp, gp=gp_cfg, warp=warp_cfg, verbose=verbose)
         self.cfg = config
+        # pre-f32-cap config, kept for the on_fragile='fallback_f64'
+        # re-run (the f64 fallback must get the full kernel-fit budget,
+        # not the f32 speed cap applied below)
+        self._cfg_pre_f32cap = config
         self.dtype = jnp.float32 if config.compute_dtype == "float32" \
             else jnp.float64
         if self.dtype == jnp.float32:
@@ -227,6 +231,8 @@ class HDPGPC:
         # f32 fragility guard (config.f32_guard_tol): smallest relative
         # decision margin seen by _dec over the current batch sweep
         self.f32_min_rel_margin = float("inf")
+        # set by _run_f64_fallback when on_fragile='fallback_f64' fires
+        self.f32_fallback: Optional[Dict] = None
         self._warp_cache: Dict = {}
         self._kernel_fit_cache = _GLOBAL_KERNEL_FITS
         self._xb_digest = self._digest(np.asarray(self.x_basis))
@@ -1434,13 +1440,58 @@ class HDPGPC:
             else:
                 break
         if self.f32_fragile:
-            print(f"WARNING: float32 speed mode is dtype-FRAGILE on this "
-                  f"batch (narrowest decision margin "
-                  f"{self.f32_min_rel_margin:.2e} < "
-                  f"{self.cfg.f32_guard_tol:.0e} rel): the clustering may "
-                  "not match the f64 exact mode — re-run this record with "
-                  "compute_dtype='float64'.", flush=True)
+            msg = (f"float32 speed mode is dtype-FRAGILE on this "
+                   f"batch (narrowest decision margin "
+                   f"{self.f32_min_rel_margin:.2e} < "
+                   f"{self.cfg.f32_guard_tol:.0e} rel): the clustering may "
+                   "not match the f64 exact mode — re-run this record with "
+                   "compute_dtype='float64'.")
+            action = getattr(self.cfg, "on_fragile", "warn")
+            if action == "raise":
+                raise FloatingPointError(
+                    msg + " (config.on_fragile='raise'; set 'fallback_f64'"
+                    " to re-run automatically)")
+            if action == "fallback_f64" and self.T_count == N:
+                self._run_f64_fallback(x_trains, y_trains, it_limit,
+                                       with_warp)
+                return self
+            if action == "fallback_f64":
+                # model already holds earlier batches a fresh f64 re-run
+                # would lose — degrade to the warning
+                msg += (" (fallback_f64 skipped: model holds "
+                        f"{self.T_count - N} earlier beats)")
+            print("WARNING: " + msg, flush=True)
         return self
+
+    def _run_f64_fallback(self, x_trains, y_trains, it_limit, with_warp):
+        """on_fragile='fallback_f64': re-run this batch in float64 exact
+        mode on a fresh model and adopt its state, keeping the f32
+        telemetry on ``self.f32_fallback``. Mirrors the reference's
+        failure-fallback idiom (OptimizerRhoOmega.py:59-95: retry ladder
+        ending in a safe re-init) at the dtype level."""
+        import dataclasses as _dc
+        frag_margin = self.f32_min_rel_margin
+        print(f"WARNING: f32 fragility guard fired (margin "
+              f"{frag_margin:.2e} < {self.cfg.f32_guard_tol:.0e} rel); "
+              "on_fragile='fallback_f64' — re-running this batch in "
+              "float64 exact mode.", flush=True)
+        # derive from the LIVE config (callers may have tuned it after
+        # construction), undoing only the ctor's f32 kernel-fit cap
+        iters = self.cfg.gp.kernel_fit_iters
+        pre = self._cfg_pre_f32cap.gp.kernel_fit_iters
+        cap = self.cfg.gp.kernel_fit_iters_f32
+        if cap and iters == cap and pre > cap:
+            iters = pre
+        cfg64 = _dc.replace(
+            self.cfg, compute_dtype="float64", on_fragile="warn",
+            gp=_dc.replace(self.cfg.gp, kernel_fit_iters=iters))
+        fb = HDPGPC(self.x_basis, x_basis_warp=self.x_basis_warp,
+                    config=cfg64)
+        fb.include_batch(x_trains, y_trains, it_limit=it_limit,
+                         with_warp=with_warp)
+        self.__dict__.update(fb.__dict__)
+        self.f32_fallback = {"min_rel_margin": float(frag_margin),
+                             "from_dtype": "float32"}
 
     def _maybe_normalise_f32(self, y: np.ndarray) -> np.ndarray:
         """float32 speed mode: raw MIT-BIH amplitudes reach ~1e3, and

@@ -247,6 +247,12 @@ def _chol_solve_kernel(a_ref, b_ref, x_ref):
     x_ref[0] = jnp.concatenate(xrows, axis=0)
 
 
+# Largest batch the single-instance kernel keeps in VMEM (~192 KiB per
+# matrix triple at TP=128; 32 * 192 KiB = 6 MiB, comfortably inside the
+# ~16 MiB/core budget with margin for Mosaic temporaries).
+_BATCHED_MAX_N = 32
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "batched"))
 def fused_spd_solve(spd: jax.Array, rhs: jax.Array,
                     interpret: bool | None = None,
@@ -266,6 +272,13 @@ def fused_spd_solve(spd: jax.Array, rhs: jax.Array,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, T, _ = spd.shape
+    # VMEM guard: the batched form holds ~3 (n, TP, TP) f32 slabs in
+    # VMEM (~n * 3 * 128*128*4 B = n * 192 KiB). The import-time probe
+    # only validates small n, so a large caller batch would hit a
+    # Mosaic VMEM/compile failure at the production call site instead
+    # of tripping the fallback — route those to the grid=(n,) form.
+    if batched and n > _BATCHED_MAX_N:
+        batched = False
     pad = TP - T
     eyep = jnp.zeros((TP, TP), spd.dtype).at[T:, T:].set(jnp.eye(
         pad, dtype=spd.dtype)) if pad else jnp.zeros((TP, TP), spd.dtype)

@@ -181,3 +181,61 @@ def test_f32_guard_ignores_exact_ties():
     assert m.f32_min_rel_margin == float("inf")
     m._dec(1.0, 1.0 + 1e-9)
     assert np.isclose(m.f32_min_rel_margin, 1e-9 / 1.0, rtol=1e-2)
+
+
+@pytest.mark.slow
+def test_f32_guard_fallback_f64_reruns_batch():
+    """on_fragile='fallback_f64' (VERDICT r4 ask #2): when the f32
+    fragility guard fires at the end of include_batch, the batch is
+    automatically re-run in float64 exact mode on a fresh model and the
+    result adopted — the caller ends up holding exact-mode clustering,
+    with the f32 telemetry preserved on model.f32_fallback. Mirrors the
+    reference's failure-fallback idiom (OptimizerRhoOmega.py:59-95)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    T, N, K = 24, 50, 2
+    y, z = synthetic_beats(N, T=T, n_clusters=K, noise=0.03, seed=1)
+    std, std_dif, bs, bg = compute_estimators_lds(y)
+    model = _build_model(T, std, std_dif, bs, bg,
+                         compute_dtype="float32")
+    # force the guard: every real (non-tie) decision margin is < 1.0 rel
+    model.cfg = dataclasses.replace(
+        model.cfg, f32_guard_tol=1.0, on_fragile="fallback_f64",
+        gp=dataclasses.replace(model.cfg.gp, kernel_fit_iters=200))
+    x_trains = np.tile(np.arange(T, dtype=np.float64), (N, 1))
+    model.include_batch(x_trains, y, with_warp=False)
+    # the adopted state is the f64 exact re-run
+    assert model.dtype == jnp.float64
+    assert model.cfg.compute_dtype == "float64"
+    assert not model.f32_fragile            # f64 mode never flags
+    # f32 telemetry survives the adoption
+    assert model.f32_fallback is not None
+    assert model.f32_fallback["from_dtype"] == "float32"
+    assert 0.0 < model.f32_fallback["min_rel_margin"] < 1.0
+    # the f64 result is a usable clustering of the full batch
+    labels = model.resp_assigned[-1]
+    assert labels.shape == (N,)
+    assert model.T_count == N
+    # fallback kernel-fit budget is the live config's, not the f32 cap
+    assert model.cfg.gp.kernel_fit_iters == 200
+
+
+def test_f32_guard_on_fragile_raise():
+    """on_fragile='raise' turns the guard warning into a hard error."""
+    import dataclasses
+
+    from hdpgpc_tpu.models.hdpgpc import HDPGPC
+
+    T, N, K = 24, 40, 2
+    y, z = synthetic_beats(N, T=T, n_clusters=K, noise=0.03, seed=2)
+    std, std_dif, bs, bg = compute_estimators_lds(y)
+    model = _build_model(T, std, std_dif, bs, bg,
+                         compute_dtype="float32")
+    model.cfg = dataclasses.replace(
+        model.cfg, f32_guard_tol=1.0, on_fragile="raise",
+        gp=dataclasses.replace(model.cfg.gp, kernel_fit_iters=100))
+    x_trains = np.tile(np.arange(T, dtype=np.float64), (N, 1))
+    with pytest.raises(FloatingPointError, match="FRAGILE"):
+        model.include_batch(x_trains, y, with_warp=False)

@@ -120,3 +120,27 @@ def test_refit_path_with_fused_kernel_matches_xla():
         chol_solve.pallas_solves_enabled.cache_clear()
     np.testing.assert_allclose(q_pl, q_xla, rtol=2e-3, atol=1e-2)
     np.testing.assert_allclose(f_pl, f_xla, rtol=2e-2, atol=1e-3)
+
+
+def test_batched_vmem_guard_routes_large_batches():
+    """ADVICE r4: the single-instance batched form holds the whole
+    (n, TP, TP) batch in VMEM, so n past _BATCHED_MAX_N must route to
+    the grid=(n,) per-matrix form instead of hitting a Mosaic
+    VMEM/compile failure at the production call site. Numerics are
+    identical either way — verified here at a guard-crossing batch."""
+    from hdpgpc_tpu.ops.pallas.chol_solve import _BATCHED_MAX_N
+
+    T = 16
+    n = _BATCHED_MAX_N + 4
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((n, T, T)).astype(np.float32)
+    spd = A @ A.swapaxes(-1, -2) + 3.0 * np.eye(T, dtype=np.float32)
+    rhs = rng.standard_normal((n, T, T)).astype(np.float32)
+    # batched=True with n over the guard silently uses the grid form
+    x_guarded = np.asarray(fused_spd_solve(
+        jnp.asarray(spd), jnp.asarray(rhs), interpret=True, batched=True))
+    x_grid = np.asarray(fused_spd_solve(
+        jnp.asarray(spd), jnp.asarray(rhs), interpret=True, batched=False))
+    np.testing.assert_allclose(x_guarded, x_grid, rtol=0, atol=0)
+    ref = np.stack([np.linalg.solve(spd[i], rhs[i]) for i in range(n)])
+    np.testing.assert_allclose(x_guarded, ref, rtol=2e-2, atol=2e-3)

@@ -74,18 +74,19 @@ def test_engine_chunked_partition(rec100, host_partition):
     np.testing.assert_array_equal(eng.labels(), part_host)
 
 
-N_BEATS_BENCH = 512
+N_BEATS_BENCH = 800
 
 
 @pytest.mark.slow
-def test_engine_bench_config_matches_host_512_beats():
-    """Pin the BENCHED online configuration (chunk=32, long rec-100
+def test_engine_bench_config_matches_host_800_beats():
+    """Pin the BENCHED online configuration (chunk=32, the full
     stream) against the host fast path — the host path is itself
     beat-for-beat golden vs the reference's include_sample_fast
     (GPI_HDP.py:2312-2629). The 60-beat tests above cannot see a
     chunk-cadence decision drift past beat 60; this one fails if the
-    amortised rho/omega refinement changes ANY of 512 partition
-    decisions (VERDICT r3 weakness #5)."""
+    amortised rho/omega refinement changes ANY of the 800 partition
+    decisions bench.py actually times (VERDICT r3 weakness #5; extended
+    512 -> 800 in r5 so the parity pin covers the benched length)."""
     data, _ = load_record("100", lead=0)
     data = data[:N_BEATS_BENCH]
     x = np.arange(data.shape[1], dtype=np.float64)

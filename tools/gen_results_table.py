@@ -8,8 +8,43 @@ Usage: python tools/gen_results_table.py [--json docs/f32_validation.json]
 """
 
 import argparse
+import glob
 import json
 import os
+
+GOLDENS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tests", "goldens")
+
+
+def _ref_match(rec, assignments):
+    """Compare our f64 partition (from the arm assignment sidecar)
+    against the committed reference golden for this record, if any.
+
+    Returns 'exact' (identical member sets up to relabeling),
+    'ARI=x.xxx' (golden exists but partitions differ), or None (no
+    golden captured). Goldens are produced by
+    tools/capture_ref_goldens.py from the RUNNING reference."""
+    path = os.path.join(GOLDENS, f"rec{rec}_full_members_ref.json")
+    if not os.path.exists(path) or assignments is None:
+        return None
+    import numpy as np
+    with open(path) as f:
+        g = json.load(f)
+    ref = np.full(g["beats"], -1, np.int64)
+    for m, idx in enumerate(g["member_sets"]):
+        ref[idx] = m
+    ours = np.asarray(assignments, np.int64)
+    if ours.shape != ref.shape:
+        return f"len {ours.shape[0]} vs ref {ref.shape[0]}"
+    # label-permutation-invariant equality
+    fwd, inv = {}, {}
+    exact = all(
+        fwd.setdefault(r, o) == o and inv.setdefault(o, r) == r
+        for r, o in zip(ref.tolist(), ours.tolist()))
+    if exact:
+        return "exact"
+    from hdpgpc_tpu.utils.eval import adjusted_rand_index
+    return f"ARI={adjusted_rand_index(ours, ref):.3f}"
 
 
 def main():
@@ -20,6 +55,14 @@ def main():
     with open(args.json) as f:
         results = json.load(f)
     rows = sorted(results.items())
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    asg_path = os.path.splitext(args.json)[0] + "_assignments.npz"
+    asg = {}
+    if os.path.exists(asg_path):
+        import numpy as np
+        asg = dict(np.load(asg_path))
     lines = [
         "# Full MIT-BIH sweep — per-record offline results",
         "",
@@ -32,23 +75,36 @@ def main():
         "(`tools/validate_f32.py`); regenerate with",
         "`python tools/gen_results_table.py`.",
         "",
-        "| rec | beats | clusters | error | err rate | wall (s) |",
-        "|---|---|---|---|---|---|",
+        "| rec | beats | clusters | error | err rate | wall (s) | matches reference |",
+        "|---|---|---|---|---|---|---|",
     ]
     tot_err = tot_beats = 0
+    n_gold = n_exact = 0
     for key, r in rows:
         rec = key.split("@")[0]
         f64 = r["f64"]
+        ref = _ref_match(rec, asg.get(f"{key}:f64"))
+        if ref is not None:
+            n_gold += 1
+            n_exact += ref == "exact"
         lines.append(f"| {rec} | {f64['tot']} | {f64['M']} "
                      f"| {f64['err']}/{f64['tot']} "
                      f"| {f64['err'] / max(f64['tot'], 1):.4f} "
-                     f"| {f64['sec']} |")
+                     f"| {f64['sec']} | {ref or '—'} |")
         tot_err += f64["err"]
         tot_beats += f64["tot"]
     if rows:
         lines += ["",
                   f"**{len(rows)} records; total error {tot_err}/{tot_beats} "
                   f"({tot_err / max(tot_beats, 1):.4f}).**"]
+        if n_gold:
+            lines += [
+                "",
+                f"'matches reference' compares our f64 partition to the "
+                f"RUNNING reference's final partition (goldens captured "
+                f"via tools/capture_ref_goldens.py; member-set match up "
+                f"to relabeling): **{n_exact}/{n_gold} captured records "
+                f"match exactly.**"]
         missing = 42 - len(rows)
         if missing > 0:
             lines += ["", f"({missing} records pending — the artifact is "

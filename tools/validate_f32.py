@@ -114,6 +114,12 @@ def run_one(rec, beats, dtype, est_limit=None):
          "sec": round(time.time() - t0, 1),
          "platform": jax.default_backend()}
     if dtype == "float32":
+        # stamp the solver backend the run actually used, so the table
+        # certifies the shipped binary (the batched Pallas kernel vs
+        # the XLA solves it replaced)
+        from hdpgpc_tpu.ops.pallas.chol_solve import pallas_solves_enabled
+        r["solver"] = ("pallas_batched" if pallas_solves_enabled()
+                       else "xla")
         # f32 fragility guard telemetry (config.f32_guard_tol): the
         # per-record signal bench.py's quality gate keys on
         mrm = m.f32_min_rel_margin
@@ -147,12 +153,22 @@ def write_md(results, path, est=300):
         "",
         "`guard` = the f32 fragility guard's verdict for the f32 run",
         "(models/hdpgpc.py `f32_fragile`: narrowest structural",
-        "accept/reject decision margin < config.f32_guard_tol)."
-        " bench.py's quality gate rejects flagged runs; a user gets the",
+        "accept/reject decision margin < config.f32_guard_tol).",
+        "bench.py's quality gate rejects flagged runs; a user gets the",
         "flag on the model and should re-run that record in f64.",
         "",
         "| rec | beats | M f64 | M f32 | err f64 | err f32 | ARI | est eff | dtype eff | guard | s f64 | s f32 |",
         "|---|---|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    solvers = sorted({r["f32"].get("solver", "unstamped (pre-r5 run)")
+                      for _k, r in rows if "f32" in r})
+    platforms = sorted({r["f32"].get("platform", "?")
+                        for _k, r in rows if "f32" in r})
+    lines += [
+        "",
+        f"f32 solver backend: {', '.join(solvers)} on "
+        f"{', '.join(platforms)} (stamped per record in the JSON "
+        "artifact — the table certifies the binary bench.py ships).",
     ]
     n = 0
     ari_sum = 0.0
@@ -198,6 +214,37 @@ def write_md(results, path, est=300):
                 "divergence is the est-limit config effect, which the "
                 "reference exhibits under the same knob.",
             ]
+        # guard recall/precision: the guard's job is predicting
+        # DTYPE-driven divergence (it cannot see the est-limit config
+        # effect, which is dtype-independent). A record counts as
+        # dtype-divergent when its factored dtype-eff ARI < 0.95.
+        guarded = [(k, r) for k, r in rows if "f32" in r
+                   and "guard_fragile" in r["f32"]]
+        if guarded:
+            div = [(k, r) for k, r in guarded
+                   if r.get("ari_dtype_effect") is not None
+                   and r["ari_dtype_effect"] < 0.95]
+            flagged = [(k, r) for k, r in guarded
+                       if r["f32"]["guard_fragile"]]
+            hits = [k for k, r in div if r["f32"]["guard_fragile"]]
+            misses = [k.split("@")[0] for k, r in div
+                      if not r["f32"]["guard_fragile"]]
+            fp = [k.split("@")[0] for k, r in flagged
+                  if not (r.get("ari_dtype_effect") is not None
+                          and r["ari_dtype_effect"] < 0.95)]
+            lines += [
+                "",
+                f"**Guard recall/precision** ({len(guarded)} records with "
+                f"guard telemetry): {len(div)} records are dtype-divergent "
+                f"(dtype-eff ARI < 0.95); the guard flags "
+                f"{len(hits)}/{len(div)} of them"
+                + (f" — false negatives: {', '.join(misses)}"
+                   if misses else " (0 false negatives)")
+                + f". {len(flagged)} records flagged in total"
+                + (f"; flags on non-dtype-divergent records (conservative "
+                   f"false positives, incl. est-effect-only divergence): "
+                   f"{', '.join(fp)}." if fp else "."),
+            ]
         missing = 42 - n
         if missing > 0:
             lines += ["", f"({missing} records pending — the artifact is "
@@ -213,7 +260,7 @@ def arm_paths(arm, base_out, est=None):
     est300 keeps the legacy unsuffixed name so round-3/4 artifacts stay
     valid)."""
     stem = os.path.join(os.path.dirname(base_out), f"arm_{arm}")
-    if arm == "f32" and est not in (None, 300):
+    if arm in ("f32", "f64est") and est not in (None, 300):
         stem += f"_est{est}"
     return stem + ".json", stem + "_assignments.npz"
 
@@ -237,12 +284,22 @@ def run_arm(arm, args, mode, est):
         if arm == "f64":
             done = key in results and akey in asg
             cached = key in combined and akey in comb_asg
+        elif arm == "f64est":
+            # divergence-factoring arm (f64 + the benched est limit);
+            # round-4 merge stored a few of these inline in the
+            # combined artifact — import those rather than re-run
+            done = key in results and akey in asg
+            cached = ("f64_est" in combined.get(key, {})
+                      and akey in comb_asg)
         else:
             done = (key in results and akey in asg
                     and results[key].get("f32_mode") == mode)
             cached = (key in combined and akey in comb_asg
                       and combined[key].get("f32_mode") == mode)
-        if done and getattr(args, "force", False):
+        if getattr(args, "force", False):
+            # force means re-RUN: skip both the done short-circuit and
+            # the legacy-combined import (a cached entry predates the
+            # guard telemetry / current solver backend)
             done = False
             cached = False
         if done:
@@ -250,7 +307,7 @@ def run_arm(arm, args, mode, est):
             continue
         if cached:
             results[key] = {k: v for k, v in combined[key].items()
-                            if k in (arm, "beats", "f32_mode")}
+                            if k in (arm, "f64_est", "beats", "f32_mode")}
             asg[akey] = comb_asg[akey]
             _atomic_json(out, results)
             _atomic_npz(asg_path, asg)
@@ -260,6 +317,9 @@ def run_arm(arm, args, mode, est):
             if arm == "f64":
                 r, a = run_one(rec, args.beats, "float64")
                 entry = {"beats": args.beats or r["tot"], "f64": r}
+            elif arm == "f64est":
+                r, a = run_one(rec, args.beats, "float64", est_limit=est)
+                entry = {"beats": args.beats or r["tot"], "f64_est": r}
             else:
                 r, a = run_one(rec, args.beats, "float32", est_limit=est)
                 entry = {"beats": args.beats or r["tot"], "f32": r,
@@ -285,13 +345,14 @@ def merge(args, mode, est, factor=True):
     comb_asg_path = os.path.splitext(args.out)[0] + "_assignments.npz"
     comb_asg = _load_npz(comb_asg_path)
 
-    for arm in ("f64", "f32"):
+    for arm in ("f64", "f32", "f64est"):
         out, asg_path = arm_paths(arm, args.out, est)
         res = _load_json(out)
         asg = _load_npz(asg_path)
+        field = "f64_est" if arm == "f64est" else arm
         for key, entry in res.items():
             akey = f"{key}:{arm}"
-            if arm not in entry or akey not in asg:
+            if field not in entry or akey not in asg:
                 continue
             cur = combined.setdefault(key, {})
             if arm == "f32" and cur.get("f32_mode") not in (None, mode):
@@ -300,7 +361,7 @@ def merge(args, mode, est, factor=True):
                           "ari_dtype_effect", "f64_est"):
                     cur.pop(k, None)
             cur.setdefault("beats", entry["beats"])
-            cur[arm] = entry[arm]
+            cur[field] = entry[field]
             if arm == "f32":
                 cur["f32_mode"] = entry["f32_mode"]
             comb_asg[akey] = asg[akey]
@@ -315,24 +376,29 @@ def merge(args, mode, est, factor=True):
         a64 = comb_asg[a64k]
         a32 = comb_asg[a32k]
         r["ari"] = round(float(adjusted_rand_index(a64, a32)), 6)
-        if r["ari"] < 0.8 and est and factor and "ari_dtype_effect" not in r:
-            # factor the divergence: est-limit config effect (f64 exact
-            # vs f64+est) vs dtype effect (f64+est vs f32+est). The
-            # reference itself behaves differently under an estimation
-            # limit (GPI_HDP.py:90), so only the dtype axis is a
-            # speed-mode fidelity question.
+        # factor the divergence: est-limit config effect (f64 exact
+        # vs f64+est) vs dtype effect (f64+est vs f32+est). The
+        # reference itself behaves differently under an estimation
+        # limit (GPI_HDP.py:90), so only the dtype axis is a
+        # speed-mode fidelity question.
+        a64ek = f"{key}:f64est"
+        if r["ari"] < 0.8 and est and factor and a64ek not in comb_asg:
             rec = key.split("@")[0]
             print(f"{key}: ARI {r['ari']:.3f} < 0.8 — running f64+est{est} "
                   "factoring arm", flush=True)
             r64e, a64e = run_one(rec, args.beats, "float64", est_limit=est)
             r["f64_est"] = r64e
+            comb_asg[a64ek] = np.asarray(a64e, np.int16)
+            _atomic_json(args.out, combined)
+            _atomic_npz(comb_asg_path, comb_asg)
+        if a64ek in comb_asg:
+            # (re)compute both factoring ARIs from assignments — never
+            # trust fields computed against an older f32 arm
+            a64e = comb_asg[a64ek]
             r["ari_est_effect"] = round(
                 float(adjusted_rand_index(a64, a64e)), 6)
             r["ari_dtype_effect"] = round(
                 float(adjusted_rand_index(a64e, a32)), 6)
-            comb_asg[f"{key}:f64est"] = np.asarray(a64e, np.int16)
-            _atomic_json(args.out, combined)
-            _atomic_npz(comb_asg_path, comb_asg)
     _atomic_json(args.out, combined)
     _atomic_npz(comb_asg_path, comb_asg)
     write_md(combined, args.md, est=est or 0)
@@ -349,9 +415,11 @@ def main():
                          "the config the validation certifies; 0 disables. "
                          "The f64 arm always runs exact (no limit).")
     ap.add_argument("--platform", default=None)
-    ap.add_argument("--arm", choices=["f64", "f32"], default=None,
-                    help="run only this dtype arm (own artifact; safe to "
-                         "run both arms as concurrent processes)")
+    ap.add_argument("--arm", choices=["f64", "f32", "f64est"], default=None,
+                    help="run only this arm (own artifact; safe to run "
+                         "arms as concurrent processes). f64est = the "
+                         "divergence-factoring arm (f64 + the benched "
+                         "est limit), consumed by --merge")
     ap.add_argument("--merge", action="store_true",
                     help="fold arm artifacts into the combined artifact, "
                          "compute ARIs + factoring arms, write markdown")
