@@ -432,6 +432,9 @@ def make_forward_step(T, limit, annealing, dynamic, update_params,
     # the scan body would stage the probe's device computation into the
     # outer trace and permanently disable the kernel.
     pallas_ok = T <= 128 and pallas_solves_enabled()
+    # f64 mixed-precision solves (HDPGPC_MP64=1, TPU only; =force for
+    # CPU tests): build-time gate like pallas_ok.
+    mp64_ok = linalg.mp64_active()
 
     def forward_step(carry, inp):
         (f, P, f_prevF, P_prevF, A, G, C, S, mniw, n,
@@ -493,9 +496,15 @@ def make_forward_step(T, limit, annealing, dynamic, update_params,
             # V_int^{-1}, V_obs^{-1})
             X = fused_spd_solve(stacked, rhs)
             K = X[0].T
+        elif dtype == jnp.float64 and mp64_ok:
+            # f64-on-TPU speed path (HDPGPC_MP64=1): the emulated f64
+            # batched Cholesky is the scan step's dominant cost; the
+            # equilibrated f32 factor + f64 iterative refinement
+            # reproduces the f64 solves to ~1e-12 rel (ops/linalg).
+            X = linalg.mp64_spd_solve(stacked, rhs)
+            K = X[0].T
         else:
             facs = jnp.linalg.cholesky(stacked)
-            L_S, L_Pp = facs[0], facs[1]
             X = jax.scipy.linalg.cho_solve((facs, True), rhs)
             # K = P_pred C' S^{-1}
             K = X[0].T
@@ -534,10 +543,18 @@ def make_forward_step(T, limit, annealing, dynamic, update_params,
                 sj = jnp.maximum(jnp.mean(jnp.abs(jnp.diagonal(
                     S__sym, axis1=1, axis2=2)), axis=1), 1e-30)
                 S__sym = S__sym + (1e-9 * sj)[:, None, None] * eye_h
-            L_S2 = jnp.linalg.cholesky(S__sym + 1e-8 * eye_h)
-            part = jax.scipy.linalg.cho_solve(
-                (L_S2, True), S_x.swapaxes(-1, -2)).swapaxes(-1, -2) \
-                .astype(dtype)
+            if dtype == jnp.float64 and mp64_ok:
+                # second emulated-f64 Cholesky of the step; same
+                # mixed-precision route (equilibration handles the
+                # scale growth of the S__ accumulation)
+                part = linalg.mp64_spd_solve(
+                    S__sym + 1e-8 * eye_h,
+                    S_x.swapaxes(-1, -2)).swapaxes(-1, -2).astype(dtype)
+            else:
+                L_S2 = jnp.linalg.cholesky(S__sym + 1e-8 * eye_h)
+                part = jax.scipy.linalg.cho_solve(
+                    (L_S2, True), S_x.swapaxes(-1, -2)).swapaxes(-1, -2) \
+                    .astype(dtype)
             S__ = S__h                     # row_cov stays f64 in the carry
             Y1 = Y1.astype(dtype)
             Y2 = Y2.astype(dtype)

@@ -260,10 +260,14 @@ class HDPGPC:
         # would otherwise re-trace and re-compile the whole refit
         # lattice: build_refit returns new closures, so per-instance
         # jit objects never share their executable caches.
+        from hdpgpc_tpu.ops import linalg as _linalg
         fp = (self.Tb, self.cfg.gp.estimation_limit,
               self.cfg.gp.annealing, self.cfg.gp.model_type,
               float(self.cfg.gp.free_deg_mniw),
-              bool(self.cfg.bayesian_params))
+              bool(self.cfg.bayesian_params),
+              # build-time solver mode (HDPGPC_MP64): programs built
+              # under different modes must not share a cache slot
+              _linalg.mp64_active())
         self._refits = _GLOBAL_PROGRAMS.setdefault(fp, {})
         # per-include_batch refit memo (see _job_key); [hits, misses]
         self._refit_memo: Dict = {}

@@ -139,8 +139,97 @@ def solve_spd_t(S: jax.Array, B: jax.Array) -> jax.Array:
     """X = B @ S^{-1} for SPD S, via Cholesky (TPU-safe f64).
 
     Equivalent to the reference's ``solve(S.T, B.T).T`` right-solves
-    (GPI.py:145-146, :297) given symmetry of S.
+    (GPI.py:145-146, :297) given symmetry of S. With HDPGPC_MP64=1 the
+    f64-on-TPU case routes through the mixed-precision solve below
+    (emulated f64 Cholesky is the RTS backward scan's per-step cost).
     """
     S = sym(S)
+    if S.dtype == jnp.float64 and mp64_active():
+        return mp64_spd_solve(S, B.T).T
     L = jnp.linalg.cholesky(S)
     return jax.scipy.linalg.cho_solve((L, True), B.T).T
+
+
+# ---------------------------------------------------------------------
+# Mixed-precision f64 SPD solves for TPU (HDPGPC_MP64)
+# ---------------------------------------------------------------------
+# v5e has no native f64: XLA emulates every f64 op as multi-pass f32
+# ("double-double"), and an emulated f64 Cholesky is ~T sequential
+# emulated column steps — the dominant per-step cost of the exact-mode
+# refit scans (GPI_model.full_pass_weighted semantics,
+# GPI_model.py:377-406). The classic TPU-native answer is mixed
+# precision: factor a Jacobi-EQUILIBRATED copy of the matrix in native
+# f32 (one MXU-friendly Cholesky), then recover f64 accuracy with
+# iterative refinement whose residuals are computed in f64 (one
+# emulated matmul per refinement step — cheap next to an emulated
+# factorization). Equilibration strips the scale-driven part of the
+# condition number (the reference needs magnitude-rescaled Cholesky
+# for the same reason, GPI.log_det, GPI.py:1167-1198), so refinement
+# contracts at ~u32 * kappa(equilibrated) per step.
+#
+# Opt-in via HDPGPC_MP64=1 (default off): exact-parity mode stays
+# bit-conservative unless the operator enables the speed path. The
+# refinement target is well below the 1e-6 relative ELBO parity bar
+# and the ~1e-4 structural decision margins the f32 guard polices.
+
+_MP64_ENV = "HDPGPC_MP64"
+
+
+def mp64_enabled() -> bool:
+    import os
+    return os.environ.get(_MP64_ENV, "0") in ("1", "force")
+
+
+def mp64_active() -> bool:
+    """True when f64 solves should route mixed-precision HERE: env
+    opt-in AND a TPU backend ('force' skips the backend check so the
+    CPU test suite can exercise the production code path)."""
+    import os
+    v = os.environ.get(_MP64_ENV, "0")
+    if v == "force":
+        return True
+    return v == "1" and jax.default_backend() == "tpu"
+
+
+def mp64_spd_solve(A: jax.Array, B: jax.Array, refine: int = 4,
+                   jitter: float = 1e-7) -> jax.Array:
+    """X = A^{-1} B for SPD f64 A via f32 factor + f64 refinement.
+
+    Batched over leading dims. The f32 jitter perturbs only the
+    PRECONDITIONER; refinement converges to the solution of the exact
+    unjittered f64 system at rate ~u32 * kappa(equilibrated) per step
+    (machine-precision for kappa_eq <~ 1e6; for pathologically
+    conditioned systems the result floors at f32-solve accuracy — i.e.
+    never worse than the validated float32 speed mode's solves, which
+    is what the per-record validation + decision-margin telemetry
+    certify end to end).
+    """
+    dtype = A.dtype
+    T = A.shape[-1]
+    d = jnp.diagonal(A, axis1=-2, axis2=-1)
+    s = jnp.where(d > 0, jax.lax.rsqrt(jnp.maximum(d, jnp.finfo(
+        dtype).tiny)), jnp.ones_like(d))                  # (..., T)
+    Ae32 = (A * s[..., :, None] * s[..., None, :]).astype(jnp.float32)
+    eye32 = jnp.eye(T, dtype=jnp.float32)
+    Ae32 = 0.5 * (Ae32 + Ae32.swapaxes(-1, -2))
+    # two-tier jitter: the small one preserves refinement contraction;
+    # where f32 rounding still makes the factor NaN (near-singular in
+    # f32), fall back to a heavy-jitter factor — refinement then floors
+    # at f32-solve accuracy instead of poisoning the scan with NaNs.
+    # (jnp.where, not lax.cond: the refit program vmaps clusters and
+    # cond would execute both branches anyway; a second f32 Cholesky
+    # is cheap.)
+    L1 = jnp.linalg.cholesky(Ae32 + jitter * eye32)
+    bad = jnp.isnan(L1).any(axis=(-2, -1), keepdims=True)
+    L2 = jnp.linalg.cholesky(Ae32 + 1e-4 * eye32)
+    L32 = jnp.where(bad, L2, L1)
+
+    def solve_pre(R):
+        Re = (R * s[..., :, None]).astype(jnp.float32)
+        Z = jax.scipy.linalg.cho_solve((L32, True), Re)
+        return Z.astype(dtype) * s[..., :, None]
+
+    X = solve_pre(B)
+    for _ in range(refine):
+        X = X + solve_pre(B - A @ X)
+    return X

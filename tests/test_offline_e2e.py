@@ -239,3 +239,41 @@ def test_f32_guard_on_fragile_raise():
     x_trains = np.tile(np.arange(T, dtype=np.float64), (N, 1))
     with pytest.raises(FloatingPointError, match="FRAGILE"):
         model.include_batch(x_trains, y, with_warp=False)
+
+
+@pytest.mark.slow
+def test_mp64_mixed_precision_f64_sweep_matches_exact():
+    """HDPGPC_MP64 (mixed-precision f64 solves, the f64-on-TPU speed
+    path): a full offline f64 sweep run with the mixed-precision
+    programs must reproduce the exact-f64 sweep's partition and ELBO
+    trajectory within the 1e-6 relative parity bar (BASELINE
+    correctness bar). 'force' engages the path on the CPU test host."""
+    import os
+
+    T, N, K = 24, 50, 2
+    y, z = synthetic_beats(N, T=T, n_clusters=K, noise=0.03, seed=4)
+    std, std_dif, bs, bg = compute_estimators_lds(y)
+    x_trains = np.tile(np.arange(T, dtype=np.float64), (N, 1))
+
+    def run():
+        import dataclasses
+        m = _build_model(T, std, std_dif, bs, bg)
+        m.cfg = dataclasses.replace(
+            m.cfg, gp=dataclasses.replace(m.cfg.gp,
+                                          kernel_fit_iters=200))
+        m.include_batch(x_trains, y, with_warp=False)
+        return m
+
+    assert os.environ.get("HDPGPC_MP64", "0") == "0"
+    m_exact = run()
+    os.environ["HDPGPC_MP64"] = "force"
+    try:
+        m_mp = run()
+    finally:
+        os.environ["HDPGPC_MP64"] = "0"
+    np.testing.assert_array_equal(m_mp.resp_assigned[-1],
+                                  m_exact.resp_assigned[-1])
+    assert m_mp.M == m_exact.M
+    assert len(m_mp.train_elbo) == len(m_exact.train_elbo)
+    for a, b in zip(m_mp.train_elbo, m_exact.train_elbo):
+        assert abs(a - b) / max(abs(b), 1.0) < 1e-6, (a, b)
