@@ -513,16 +513,26 @@ class OnlineStreamEngine:
         out_uids = np.zeros(N, np.int64)
         out_birth = np.zeros(N, bool)
         i = 0
+        # Per-beat outputs are only consumed AFTER the stream: keep the
+        # device buffers and fetch them in one transfer at the end, so
+        # the only per-chunk synchronisation is the HDP refresh's count
+        # fetch (each blocking fetch costs a full tunnel round-trip —
+        # this halves the per-chunk round-trips; with hdp_refresh=False
+        # chunks pipeline with no host sync at all). Decision semantics
+        # are untouched: uids/births are pure outputs.
+        pending = []
         while i < N:
             B = min(self.chunk, N - i)
             Yj = jnp.asarray(Y[i:i + B], self.dtype)
             self.carry, outs = self._chunk_fn(self.carry, Yj)
-            uids, births = jax.device_get((outs.uid, outs.birth))
-            out_uids[i:i + B] = uids
-            out_birth[i:i + B] = births
+            pending.append((i, B, outs))
             i += B
             if hdp_refresh:
                 self._host_hdp_refresh()
+        fetched = jax.device_get([(o.uid, o.birth) for _i, _b, o in pending])
+        for (i0, B, _o), (uids, births) in zip(pending, fetched):
+            out_uids[i0:i0 + B] = uids[:B]
+            out_birth[i0:i0 + B] = births[:B]
         self.uids.extend(out_uids.tolist())
         self.births.extend(out_birth.tolist())
         return out_uids

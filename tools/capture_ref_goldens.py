@@ -87,11 +87,29 @@ def main():
     args = ap.parse_args()
     for rec in args.records.split(","):
         out = os.path.join(GOLDENS, f"rec{rec}_full_members_ref.json")
-        if os.path.exists(out) and not args.force:
-            print(f"{rec}: golden exists", flush=True)
+        crash = os.path.join(GOLDENS, f"rec{rec}_ref_crash.json")
+        if (os.path.exists(out) or os.path.exists(crash)) \
+                and not args.force:
+            print(f"{rec}: golden/crash record exists", flush=True)
             continue
         t0 = time.time()
-        g = run_reference(rec)
+        try:
+            g = run_reference(rec)
+        except Exception as e:  # the reference has record-dependent
+            # crashes of its own (e.g. rec 107: IndexError at
+            # GPI_HDP.py:1635, reorder index past the warped-y buffer);
+            # record the fact — "our framework completes where the
+            # reference aborts" is itself parity evidence worth keeping
+            import traceback
+            note = {"record": rec, "error": repr(e),
+                    "where": traceback.format_exc().splitlines()[-3:],
+                    "config": "test_offline.py flagship (bayesian, "
+                              "warp off)"}
+            with open(crash, "w") as f:
+                json.dump(note, f, indent=1)
+            print(f"{rec}: REFERENCE CRASHED ({e!r}) -> {crash}",
+                  flush=True)
+            continue
         tmp = out + ".tmp"
         with open(tmp, "w") as f:
             json.dump(g, f)

@@ -25,7 +25,12 @@ def _ref_match(rec, assignments):
     golden captured). Goldens are produced by
     tools/capture_ref_goldens.py from the RUNNING reference."""
     path = os.path.join(GOLDENS, f"rec{rec}_full_members_ref.json")
-    if not os.path.exists(path) or assignments is None:
+    if not os.path.exists(path):
+        crash = os.path.join(GOLDENS, f"rec{rec}_ref_crash.json")
+        if os.path.exists(crash):
+            return "ref CRASHES (its own bug; we complete)"
+        return None
+    if assignments is None:
         return None
     import numpy as np
     with open(path) as f:
