@@ -157,18 +157,18 @@ def write_md(results, path, est=300):
         "bench.py's quality gate rejects flagged runs; a user gets the",
         "flag on the model and should re-run that record in f64.",
         "",
-        "| rec | beats | M f64 | M f32 | err f64 | err f32 | ARI | est eff | dtype eff | guard | s f64 | s f32 |",
-        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     solvers = sorted({r["f32"].get("solver", "unstamped (pre-r5 run)")
                       for _k, r in rows if "f32" in r})
     platforms = sorted({r["f32"].get("platform", "?")
                         for _k, r in rows if "f32" in r})
     lines += [
-        "",
         f"f32 solver backend: {', '.join(solvers)} on "
         f"{', '.join(platforms)} (stamped per record in the JSON "
         "artifact — the table certifies the binary bench.py ships).",
+        "",
+        "| rec | beats | M f64 | M f32 | err f64 | err f32 | ARI | est eff | dtype eff | guard | s f64 | s f32 |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     n = 0
     ari_sum = 0.0
@@ -245,6 +245,59 @@ def write_md(results, path, est=300):
                    f"false positives, incl. est-effect-only divergence): "
                    f"{', '.join(fp)}." if fp else "."),
             ]
+            # tolerance sweep over the recorded margins: is there ANY
+            # threshold that separates dtype-divergent records from
+            # stable ones? (margins are stored per record, so this is
+            # recomputable offline without re-running the sweep)
+            def _margin(r):
+                m = r["f32"].get("guard_min_rel_margin")
+                return float("inf") if m is None else m
+            # labels: factored records use dtype-eff; unfactored records
+            # with overall ARI >= 0.95 are end-to-end stable (dtype
+            # divergence bounded by the overall divergence)
+            labeled = [(k, _margin(r), r["ari_dtype_effect"] < 0.95)
+                       for k, r in guarded
+                       if r.get("ari_dtype_effect") is not None]
+            labeled += [(k, _margin(r), False) for k, r in guarded
+                        if r.get("ari_dtype_effect") is None
+                        and r.get("ari", 0.0) >= 0.95]
+            if labeled:
+                sweep = []
+                for tol in (1e-6, 1e-5, 1e-4, 1e-3, 1e-2):
+                    tp = sum(1 for _k, m, d in labeled if m < tol and d)
+                    fpc = sum(1 for _k, m, d in labeled
+                              if m < tol and not d)
+                    pos = sum(1 for _k, _m, d in labeled if d)
+                    sweep.append(f"tol={tol:.0e}: recall {tp}/{pos}, "
+                                 f"false alarms {fpc}")
+                stable_min = min((m for _k, m, d in labeled if not d),
+                                 default=float("inf"))
+                lines += [
+                    "",
+                    "Threshold sweep over the recorded margins (factored "
+                    "records + unfactored records with overall ARI >= "
+                    "0.95 as the stable class): " + "; ".join(sweep)
+                    + ".",
+                    "",
+                    "Interpretation: the min-margin signal detects "
+                    "MARGIN-CRITICAL runs (decisions within f32 rounding "
+                    "of flipping) — a distinct failure class from "
+                    "end-state structural divergence, which typically "
+                    "enters through accumulated refit rounding that "
+                    "shifts scores by far more than the recorded margin "
+                    "(e.g. rec 108 diverges with min margin 1.7e-3). No "
+                    "threshold separates the two classes"
+                    + (f" (the most stable records reach margins as low "
+                       f"as {stable_min:.1e})" if stable_min < 1e-3
+                       else "")
+                    + ", so a guard flag is a definite warning, and the "
+                    "ABSENCE of a flag is not a fidelity certificate: "
+                    "per-record fidelity is certified by this table, and "
+                    "exact results come from the f64 mode (HDPGPC_MP64=1 "
+                    "for TPU speed). bench.py's quality gate keys on the "
+                    "rec-100 flag plus classification error, both of "
+                    "which this table pins.",
+                ]
         missing = 42 - n
         if missing > 0:
             lines += ["", f"({missing} records pending — the artifact is "
