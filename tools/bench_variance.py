@@ -17,7 +17,12 @@ for i in range(N):
     t0 = time.time()
     p = subprocess.run([sys.executable, "bench.py"], capture_output=True,
                        text=True, timeout=3600)
-    line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+    json_lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+    if not json_lines:
+        sys.stderr.write(f"run {i + 1}: bench.py rc={p.returncode}, no "
+                         f"JSON line\nstderr tail:\n{p.stderr[-3000:]}\n")
+        sys.exit(1)
+    line = json_lines[-1]
     r = json.loads(line)
     runs.append(r)
     print(f"run {i + 1}/{N}: {r['value']} s/sweep "
