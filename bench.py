@@ -192,6 +192,10 @@ def main():
         "value": round(sec_per_sweep, 4),
         "unit": "s/sweep",
         "vs_baseline": round(vs, 3),
+        # every timed run, not just the median — lets a variance band
+        # be assembled across invocations (tunnel round-trip latency
+        # swings ~2x run-to-run; docs/bench_variance.json)
+        "runs_sec": [round(s, 4) for s in secs],
     }
     # Also record the judged ONLINE metric (BASELINE.json: "beats/sec
     # online") in the same single JSON line. The online engine needs

@@ -26,21 +26,30 @@ for i in range(N):
     r = json.loads(line)
     runs.append(r)
     print(f"run {i + 1}/{N}: {r['value']} s/sweep "
-          f"({r['vs_baseline']}x), online {r['online_beats_per_sec']} "
+          f"({r['vs_baseline']}x), online "
+          f"{r.get('online_beats_per_sec', 'n/a')} "
           f"beats/s  [{time.time() - t0:.0f}s]", flush=True)
 
 vals = [r["value"] for r in runs]
-onl = [r["online_beats_per_sec"] for r in runs]
+all_secs = [s for r in runs for s in r.get("runs_sec", [])]
+onl = [r["online_beats_per_sec"] for r in runs
+       if "online_beats_per_sec" in r]
 out = {
     "n_runs": N,
     "offline_s_per_sweep": {"min": min(vals), "median":
                             statistics.median(vals), "max": max(vals)},
+    "offline_all_timed_runs_sec": {
+        "n": len(all_secs),
+        "min": min(all_secs) if all_secs else None,
+        "median": statistics.median(all_secs) if all_secs else None,
+        "max": max(all_secs) if all_secs else None},
     "offline_vs_baseline": {"min": min(r["vs_baseline"] for r in runs),
                             "median": statistics.median(
                                 r["vs_baseline"] for r in runs),
                             "max": max(r["vs_baseline"] for r in runs)},
-    "online_beats_per_sec": {"min": min(onl), "median":
-                             statistics.median(onl), "max": max(onl)},
+    "online_beats_per_sec": ({"min": min(onl), "median":
+                              statistics.median(onl), "max": max(onl)}
+                             if onl else None),
     "metric": runs[0]["metric"],
     "runs": runs,
 }

@@ -110,6 +110,24 @@ def main():
                 f"via tools/capture_ref_goldens.py; member-set match up "
                 f"to relabeling): **{n_exact}/{n_gold} captured records "
                 f"match exactly.**"]
+            lines += [
+                "",
+                "Note on rec 116, the one divergent row: our f64 run "
+                "matches the reference's printed ELBO trajectory "
+                "bit-for-bit through sweep 5 (-1021248.56 ... "
+                "-836787.77); in sweep 6 the reference's birth search "
+                "accepts nothing (assignments repeat, stop at M=4, "
+                "final ELBO -836787.77) while ours accepts a birth and "
+                "continues to M=7 at ELBO -718735.84 — a strictly "
+                "better value of the model's own objective, with "
+                "identical classification error 2/2411 on both sides. "
+                "A near-threshold accept flip in one candidate "
+                "evaluation, not a numerics fault: the 5-sweep prefix "
+                "parity rides the reference's own determinism basis "
+                "(GPI_HDP.py:15-27). Records 107/119: the reference "
+                "aborts with an IndexError in its own reorder "
+                "(GPI_HDP.py:1635) under its flagship configuration; "
+                "crash transcripts are committed as goldens."]
         missing = 42 - len(rows)
         if missing > 0:
             lines += ["", f"({missing} records pending — the artifact is "
