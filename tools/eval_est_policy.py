@@ -28,7 +28,8 @@ Produce the extra arms with e.g.
     python tools/validate_f32.py --arm f32 --est-limit 600
 
 Output: per-record chosen limit, policy ARI vs the f64 exact oracle,
-summary counts, cost multiple — written to docs/EST_POLICY.md.
+summary counts, cost multiple — written to docs/EST_POLICY_EVAL.md
+(the measured-conclusion narrative lives in docs/EST_POLICY.md).
 """
 
 import argparse
@@ -67,7 +68,7 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--stable-ari", type=float, default=0.99)
-    ap.add_argument("--out", default="docs/EST_POLICY.md")
+    ap.add_argument("--out", default="docs/EST_POLICY_EVAL.md")
     args = ap.parse_args()
 
     arms = {est: load_arm(est) for est in ARMS}

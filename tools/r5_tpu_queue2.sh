@@ -1,6 +1,7 @@
 #!/bin/bash
-# Round-5 TPU queue, part 2: warm profile, right-sized growth stress,
-# fixed-K 1M stress, bench variance, est600 policy subset.
+# Round-5 TPU queue, part 2 (rev b): warm profile, right-sized growth
+# stress, fixed-K 1M stress, bench variance (3 invocations x 3 timed
+# runs = 9 samples), est600 policy subset.
 cd /root/repo
 export PYTHONPATH="/root/repo:$PYTHONPATH"
 SETTLE=120
@@ -36,8 +37,8 @@ timeout 5400 python examples/run_stress_stream.py \
 echo "[q2] fixed stress exit=$? at $(date)"
 sleep $SETTLE
 
-echo "[q2] bench variance x5 at $(date)"
-timeout 7200 python tools/bench_variance.py 5 > /tmp/bench_var.log 2>&1
+echo "[q2] bench variance x3 at $(date)"
+timeout 5400 python tools/bench_variance.py 3 > /tmp/bench_var.log 2>&1
 echo "[q2] bench variance exit=$? at $(date)"
 sleep $SETTLE
 
