@@ -93,7 +93,10 @@ lines += [
     f"Sizing: the full per-beat decision loop at K=64 runs at "
     f"{d['beats_per_sec']:,} beats/s on this chip, so 1M beats is a "
     f"{hours_1m:.1f}-hour run — sized to {d['beats']:,} beats "
-    "(the full K=64 growth schedule, every slot born) so the artifact "
+    "(the full growth schedule: all 64 morphologies introduced; the "
+    "birth rule absorbs near-duplicate templates, so "
+    f"{d['clusters_born']} slots were actually born — faithful "
+    "algorithm behaviour, see the smoke-scale pin) so the artifact "
     "is a COMPLETED run rather than a truncated one; throughput and "
     "memory are stream-length-invariant (fixed carry, block "
     "generation), so the steady-state numbers ARE the 1M numbers.",
