@@ -165,16 +165,26 @@ def main():
         args.chunk = min(args.chunk, 1024)
         return run_grow(args)
 
+    import jax
     import jax.numpy as jnp
     from hdpgpc_tpu.data.loader import synthetic_beats
     from hdpgpc_tpu.models.streaming import (init_stream_state,
                                              stream_classify)
 
     K, T = args.k, args.t
+    # the chunk-step's masked associative-scan filter materialises
+    # (K, B, T, T) combine elements — at K=64/T=90 a B=8192 chunk is
+    # a ~240 GB allocation. Cap B so the peak stays inside a v5e's
+    # 16 GB HBM (B=256: ~3.7 GB across the scan's live buffers).
+    args.chunk = min(args.chunk, 256)
     warm, z_warm = synthetic_beats(50 * K, T=T, n_clusters=K, noise=0.05,
                                    seed=0)
     tmpl = np.stack([warm[z_warm == k][:, :, 0].mean(0) for k in range(K)])
-    st = init_stream_state(jnp.asarray(tmpl), ini_gamma=0.001,
+    # frozen-parameter classification is the f32 speed regime on TPU
+    # (native MXU dtype; scores are well-separated so label decisions
+    # are dtype-stable); CPU keeps f64
+    dt = np.float32 if jax.default_backend() == "tpu" else np.float64
+    st = init_stream_state(jnp.asarray(tmpl.astype(dt)), ini_gamma=0.001,
                            ini_sigma=0.05)
 
     # stream in blocks, regenerating data on the fly (constant memory)

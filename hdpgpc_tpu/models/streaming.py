@@ -142,6 +142,9 @@ def stream_classify(state: StreamState, Y: np.ndarray, chunk: int = 4096):
     T = state.f.shape[1]
     step = build_stream_step(T, K)
     N = Y.shape[0]
+    # compute in the state's dtype (f32 on TPU is the native speed
+    # regime; a f64 Y would silently promote the whole chunk step)
+    Y = np.asarray(Y, dtype=np.dtype(str(state.f.dtype)))
     labels = np.empty(N, np.int64)
     for s in range(0, N, chunk):
         e = min(s + chunk, N)
