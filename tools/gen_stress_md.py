@@ -58,19 +58,30 @@ lines = [
     "",
 ]
 if fixed:
+    fx_hours_1m = 1_000_000 / max(fixed["bps"], 1e-9) / 3600.0
     lines += [
-        "## Fixed-K classification stress — FULL 1M / K=64",
+        f"## Fixed-K classification stress — {fixed['beats']:,} beats "
+        f"/ K={fixed['K']}",
         "",
         "Frozen-parameter streaming classifier "
         "(`models/streaming.py`), all 64 morphologies known up front "
-        "— the pure long-horizon throughput regime:",
+        "— the pure long-horizon throughput regime (f32 on TPU, "
+        "HBM-safe chunk=256; the masked associative-scan filter's "
+        "combine elements bound the chunk size):",
         "",
         "| beats | K | beats/s | accuracy | wall (min) |",
         "|---|---|---|---|---|",
         f"| {fixed['beats']:,} | {fixed['K']} | {fixed['bps']:,} "
         f"| {fixed['acc']} | {fixed['min']} |",
         "",
-    ]
+    ] + ([] if fixed["beats"] >= 1_000_000 else [
+        f"At the measured {fixed['bps']:,} beats/s, 1M beats is a "
+        f"{fx_hours_1m:.1f}-hour run on the single tunnelled chip; "
+        "throughput and memory are stream-length-invariant (fixed "
+        "O(K T^2) carry, on-the-fly block generation), so the "
+        "steady-state row above is the 1M-scale behaviour.",
+        "",
+    ])
 lines += [
     "## Growth stress — full online VI with on-device births",
     "",
